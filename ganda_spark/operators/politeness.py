@@ -1,0 +1,111 @@
+"""F7-F9: host politeness, robots gating, priority scheduling.
+
+The reference's only per-host control is the transport's 50-conns/host cap
+(requests/requests.go:29); its scheduler is FIFO channel order
+(cli/cli.go:241-242) and its rate limit is one global ticker
+(cli/cli.go:244-250). At 10^10-URL frontier scale those become:
+
+  F7  per-host budget  — release at most `per_host_budget` rows per host
+      per generation. Expressed as row_number() over
+      (PARTITION BY host ORDER BY priority, seq) <= budget — a pure
+      window, SQL-oracle-checkable, no mutable heap.
+  F9  priority queue   — the same window IS the priority queue: Spark-native
+      top-k pop instead of a per-worker heap. Physical layout:
+      repartitionByRange(host_bucket, priority) + sortWithinPartitions so
+      one task owns a contiguous host range — co-located politeness
+      accounting with zero extra shuffles downstream.
+  skew: host_bucket = pmod(xxhash64(host) + salt, buckets) where salt
+      splits ONLY the hot hosts (top-k by count or AQE skew stats) so one
+      hot host (~24% of our synthetic frontier) cannot pin a single task.
+      The budget window stays keyed by the TRUE host, so salting never
+      changes semantics, only placement.
+  F8  robots gating    — broadcast join of per-host rules; a disallowed
+      prefix defers/drops the row before it ever reaches the fetch stage.
+  F5  global throttle  — a per-generation release cap (LIMIT budget on the
+      popped frontier): Structured Streaming's maxRecordsPerTrigger analog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ganda_spark.config import EngineConfig
+
+
+def host_bucket(host_col, buckets: int, salt_col=None, salt: int = 1):
+    """Politeness partition key. With salt>1 the bucket space fans out so a
+    hot host spreads over `salt` adjacent buckets (placement only)."""
+    h = F.pmod(F.xxhash64(host_col), F.lit(buckets))
+    if salt_col is not None and salt > 1:
+        return h * salt + F.pmod(salt_col, F.lit(salt))
+    return h
+
+
+def pop_batch(
+    frontier: DataFrame,
+    cfg: EngineConfig,
+    global_budget: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(released, deferred) for one crawl generation.
+
+    released = per host, the `per_host_budget` best rows by
+    (priority ASC, seq ASC) — ganda's FIFO generalized with priorities;
+    ties broken by seq so the pop order is deterministic at ANY parallelism
+    (SURVEY.md §7 risk 2).
+    deferred = everything else, carried to the next generation untouched.
+    """
+    w = Window.partitionBy("host").orderBy(
+        F.col("priority").asc(), F.col("seq").asc()
+    )
+    ranked = frontier.withColumn("_rk", F.row_number().over(w))
+    released = ranked.where(F.col("_rk") <= cfg.per_host_budget).drop("_rk")
+    deferred = ranked.where(F.col("_rk") > cfg.per_host_budget).drop("_rk")
+
+    if global_budget is not None:
+        # F5: global release cap — deterministic: keep the globally best
+        # (priority, seq) rows among the per-host winners.
+        w_all = Window.orderBy(F.col("priority").asc(), F.col("seq").asc())
+        capped = released.withColumn("_gk", F.row_number().over(w_all))
+        over = capped.where(F.col("_gk") > global_budget).drop("_gk")
+        released = capped.where(F.col("_gk") <= global_budget).drop("_gk")
+        deferred = deferred.unionByName(over)
+    return released, deferred
+
+
+def partition_for_fetch(released: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Physical placement for the fetch stage: range-partition on
+    (host_bucket, priority) and sort within partitions — every host's rows
+    are contiguous in one task (per-host sessions + budgets are local),
+    and the hot-host salt spreads placement without touching semantics."""
+    salted = released.withColumn(
+        "_bucket",
+        host_bucket(
+            F.col("host"), cfg.host_buckets, salt_col=F.col("seq"), salt=cfg.skew_salt
+        ),
+    )
+    return (
+        salted.repartitionByRange(cfg.request_workers, "_bucket", "priority")
+        .sortWithinPartitions("_bucket", "priority", "seq")
+        .drop("_bucket")
+    )
+
+
+def robots_gate(frontier: DataFrame, robots: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """F8: (allowed, blocked) by per-host disallow prefixes.
+
+    robots: (host, disallow_prefixes: array<string>, crawl_delay_ms: int).
+    Broadcast join — the rules table is tiny relative to the frontier at
+    any scale; prefix test is a JVM higher-order function (exists), no UDF.
+    """
+    r = F.broadcast(robots.select("host", "disallow_prefixes"))
+    joined = frontier.join(r, "host", "left")
+    path = F.parse_url(F.col("url"), F.lit("PATH"))
+    blocked_pred = F.when(
+        F.col("disallow_prefixes").isNotNull(),
+        F.exists("disallow_prefixes", lambda p: path.startswith(p)),
+    ).otherwise(F.lit(False))
+    tagged = joined.withColumn("_blocked", blocked_pred).drop("disallow_prefixes")
+    allowed = tagged.where(~F.col("_blocked")).drop("_blocked")
+    blocked = tagged.where(F.col("_blocked")).drop("_blocked")
+    return allowed, blocked

@@ -1,0 +1,115 @@
+"""S5-S9: JSON-lines request specs.
+
+Schema per reference request.schema.json:1-30 — url required; method enum
+(overrides the static default, parser/parser.go:123-127); headers merged
+over static headers with per-line winning (parser/parser.go:145-165,
+pinned parser/parser_test.go:213-236); body decoded per bodyType
+(parser/parser.go:167-191); context is any JSON value carried verbatim.
+
+Spark-first: from_json for the spec, map_concat under
+spark.sql.mapKeyDedupPolicy=LAST_WIN for the header merge, a when/otherwise
+ladder for body decode — all JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ganda_spark.config import EngineConfig
+
+REQUEST_SPEC_DDL = (
+    "url STRING, method STRING, headers MAP<STRING,STRING>, "
+    "body STRING, bodyType STRING"
+)
+
+
+def decode_body(body: Column, body_type: Column) -> Column:
+    """S6 — reference parser/parser.go:167-191.
+
+    escaped ⇒ JSON-string unquote; base64 ⇒ unquote + decode; json/'' ⇒ raw
+    JSON bytes; anything else ⇒ error (fail-fast parity).
+    """
+    bt = F.coalesce(body_type, F.lit(""))
+    # strconv.Unquote equivalent: JVM-side JSON string unescape
+    unquoted = F.get_json_object(F.concat(F.lit('{"v":'), body, F.lit("}")), "$.v")
+    return (
+        F.when(body.isNull(), F.lit(None).cast("string"))
+        .when(bt == "escaped", unquoted)
+        .when(bt == "base64", F.unbase64(unquoted).cast("string"))
+        .when((bt == "json") | (bt == ""), body)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        'unsupported body type: '
+                    ),
+                    bt,
+                    F.lit(', valid values: "json", "base64", "escaped"'),
+                )
+            )
+        )
+    )
+
+
+def parse_json_lines(lines: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """DataFrame(value: string) → request DataFrame
+    (seq, url, method, headers, body, context_json).
+
+    - missing url ⇒ raise_error (parser/parser.go:114-116 fail-fast)
+    - method: per-line overrides cfg default (parser/parser.go:123-127)
+    - headers: static ∪ per-line, per-line wins (LAST_WIN map_concat)
+    - context_json: raw JSON text of the context value (round-trip parity;
+      numbers/ordering normalized at envelope time, see functions.goexact)
+    """
+    static_headers = F.create_map(
+        *[x for kv in cfg.request_headers.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    ) if cfg.request_headers else F.expr("map()")
+
+    parsed = lines.select(
+        F.monotonically_increasing_id().alias("seq"),
+        F.col("value"),
+        F.from_json("value", REQUEST_SPEC_DDL).alias("r"),
+        F.get_json_object("value", "$.context").alias("_ctx_extracted"),
+    )
+    # get_json_object unquotes scalar strings; recover raw JSON for strings
+    # by re-quoting when the spec's context was a JSON string.
+    from ganda_spark.functions.transforms import go_json_escape
+
+    ctx_raw = F.when(
+        F.col("_ctx_extracted").isNull(), F.lit(None).cast("string")
+    ).otherwise(
+        F.when(
+            F.col("value").rlike('"context"\\s*:\\s*"'),
+            F.concat(F.lit('"'), go_json_escape(F.col("_ctx_extracted")), F.lit('"')),
+        ).otherwise(F.col("_ctx_extracted"))
+    )
+
+    url = F.col("r.url")
+    checked_url = F.when(
+        url.isNull() | (F.length(url) == 0),
+        F.raise_error(F.concat(F.lit("missing url property: "), F.col("value"))),
+    ).otherwise(url)
+
+    return parsed.select(
+        "seq",
+        checked_url.alias("url"),
+        F.coalesce(
+            F.when(F.length(F.col("r.method")) > 0, F.col("r.method")),
+            F.lit(cfg.request_method),
+        ).alias("method"),
+        F.when(
+            F.col("r.headers").isNotNull(),
+            F.map_concat(static_headers, F.col("r.headers")),
+        )
+        .otherwise(static_headers)
+        .alias("headers"),
+        decode_body(F.col("r.body"), F.col("r.bodyType")).alias("body"),
+        ctx_raw.alias("context_json"),
+    )
+
+
+def sniff_is_json_lines(lines: DataFrame) -> bool:
+    """S3 — first byte '{' ⇒ JSON lines (parser/parser.go:194-207)."""
+    first = lines.select("value").limit(1).collect()
+    return bool(first) and (first[0][0] or "")[:1] == "{"

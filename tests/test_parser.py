@@ -1,0 +1,154 @@
+"""S3-S9: input parsing — URL+ragged-TSV and JSON-lines request specs.
+
+Semantics pinned by reference parser/parser_test.go:70-331.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ganda_spark.config import EngineConfig
+from ganda_spark.sources.json_lines import (
+    decode_body,
+    parse_json_lines,
+    sniff_is_json_lines,
+)
+from ganda_spark.sources.url_lines import parse_url_lines
+
+import pyspark.sql.functions as F
+
+
+def _lines_df(spark, lines):
+    return spark.createDataFrame([(l,) for l in lines], "value string")
+
+
+# --- URL + ragged TSV (parser/parser_test.go:70-105) ---
+
+def test_url_only_has_nil_context(spark):
+    df = parse_url_lines(spark, _lines_df(spark, ["http://a.test/1"]))
+    row = df.collect()[0]
+    assert row["url"] == "http://a.test/1" and row["context"] is None
+
+
+def test_ragged_context_fields(spark):
+    df = parse_url_lines(
+        spark,
+        _lines_df(
+            spark,
+            [
+                "http://a.test/1\tctx1",
+                "http://a.test/2\tctx1\tctx2\tctx3",
+                "http://a.test/3",
+            ],
+        ),
+    )
+    rows = {r["url"]: r["context"] for r in df.collect()}
+    assert rows["http://a.test/1"] == ["ctx1"]
+    assert rows["http://a.test/2"] == ["ctx1", "ctx2", "ctx3"]
+    assert rows["http://a.test/3"] is None
+
+
+def test_rfc4180_quoted_context(spark):
+    # quoted field containing a tab and an escaped quote
+    # (parser/parser_test.go:78-95)
+    df = parse_url_lines(
+        spark,
+        _lines_df(spark, ['http://a.test/1\t"has\ttab"\t"say ""hi"""']),
+    )
+    row = df.collect()[0]
+    assert row["context"] == ["has\ttab", 'say "hi"']
+
+
+def test_empty_input_is_noop(spark):
+    # P2: EOF on first peek ⇒ clean no-op (parser/parser_test.go:299-307)
+    df = parse_url_lines(spark, _lines_df(spark, []).where(F.lit(False)))
+    assert df.count() == 0
+
+
+# --- JSON lines (parser/parser_test.go:121-297, request.schema.json) ---
+
+def test_json_line_basics(spark):
+    cfg = EngineConfig(request_method="GET")
+    df = parse_json_lines(
+        _lines_df(
+            spark,
+            [
+                '{"url": "http://a.test/1"}',
+                '{"url": "http://a.test/2", "method": "POST"}',
+            ],
+        ),
+        cfg,
+    )
+    rows = {r["url"]: r for r in df.collect()}
+    assert rows["http://a.test/1"]["method"] == "GET"  # default (config.go:35)
+    assert rows["http://a.test/2"]["method"] == "POST"  # override (parser.go:123-127)
+
+
+def test_json_line_missing_url_fails(spark):
+    cfg = EngineConfig()
+    df = parse_json_lines(_lines_df(spark, ['{"method": "POST"}']), cfg)
+    with pytest.raises(Exception, match="missing url property"):
+        df.collect()
+
+
+def test_header_merge_per_line_wins(spark):
+    # parser/parser_test.go:213-236
+    cfg = EngineConfig(request_headers={"x-a": "static", "x-b": "static"})
+    df = parse_json_lines(
+        _lines_df(
+            spark,
+            ['{"url": "http://a.test/1", "headers": {"x-b": "line", "x-c": "line"}}'],
+        ),
+        cfg,
+    )
+    h = df.collect()[0]["headers"]
+    assert h == {"x-a": "static", "x-b": "line", "x-c": "line"}
+
+
+def test_context_round_trip(spark):
+    cfg = EngineConfig()
+    df = parse_json_lines(
+        _lines_df(
+            spark,
+            [
+                '{"url": "http://a.test/1", "context": ["foo", "quoted content"]}',
+                '{"url": "http://a.test/2", "context": "baz"}',
+                '{"url": "http://a.test/3"}',
+            ],
+        ),
+        cfg,
+    )
+    rows = {r["url"]: r["context_json"] for r in df.collect()}
+    assert rows["http://a.test/1"] == '["foo","quoted content"]'
+    assert rows["http://a.test/2"] == '"baz"'
+    assert rows["http://a.test/3"] is None
+
+
+def test_body_decode_modes(spark):
+    # parser/parser_test.go:261-297 (S6)
+    df = spark.createDataFrame(
+        [
+            ('"aGVsbG8="', "base64", "hello"),
+            ('"say \\"hi\\""', "escaped", 'say "hi"'),
+            ('{"a": 1}', "json", '{"a": 1}'),
+            ('{"a": 1}', None, '{"a": 1}'),
+        ],
+        "body string, bodyType string, expected string",
+    )
+    out = df.select(
+        decode_body(F.col("body"), F.col("bodyType")).alias("got"), "expected"
+    ).collect()
+    for r in out:
+        assert r["got"] == r["expected"]
+
+
+def test_body_decode_unknown_type_fails(spark):
+    df = spark.createDataFrame([('"x"', "nope")], "body string, bodyType string")
+    with pytest.raises(Exception, match="unsupported body type"):
+        df.select(decode_body(F.col("body"), F.col("bodyType"))).collect()
+
+
+def test_input_sniff(spark):
+    # S3: first byte '{' ⇒ JSON lines (parser/parser.go:194-207)
+    assert sniff_is_json_lines(_lines_df(spark, ['{"url": "x"}']))
+    assert not sniff_is_json_lines(_lines_df(spark, ["http://a.test/1"]))

@@ -1,0 +1,75 @@
+"""F7-F9: politeness budgets, priority pop order, robots gating, and
+P-invariance of the crawl order (BASELINE.json:14 equality contract)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ganda_spark.config import EngineConfig
+from ganda_spark.operators.politeness import partition_for_fetch, pop_batch, robots_gate
+from ganda_spark.sources.frontier import seed_frontier
+
+
+def test_per_host_budget(spark, sf_dir):
+    frontier = seed_frontier(spark, sf_dir)
+    cfg = EngineConfig(per_host_budget=5)
+    released, deferred = pop_batch(frontier, cfg)
+    per_host = released.groupBy("host").count()
+    assert per_host.where(F.col("count") > 5).count() == 0
+    assert released.count() + deferred.count() == frontier.count()
+
+
+def test_pop_order_is_priority_then_seq(spark, sf_dir):
+    frontier = seed_frontier(spark, sf_dir)
+    cfg = EngineConfig(per_host_budget=3)
+    released, _ = pop_batch(frontier, cfg)
+    # reference order oracle in pure pandas
+    pdf = frontier.toPandas().sort_values(["priority", "seq"])
+    expect = set(pdf.groupby("host").head(3)["url"])
+    got = {r["url"] for r in released.select("url").collect()}
+    assert got == expect
+
+
+def test_pop_order_parallelism_invariant(spark, sf_dir):
+    """Same released set at 2 and 32 shuffle partitions — determinism under
+    parallelism is the engine's strengthening of ganda (SURVEY.md §7d)."""
+    frontier = seed_frontier(spark, sf_dir)
+    cfg = EngineConfig(per_host_budget=2)
+    a, _ = pop_batch(frontier.repartition(2), cfg)
+    b, _ = pop_batch(frontier.repartition(32), cfg)
+    assert a.select("url").exceptAll(b.select("url")).isEmpty()
+    assert b.select("url").exceptAll(a.select("url")).isEmpty()
+
+
+def test_global_budget_cap(spark, sf_dir):
+    frontier = seed_frontier(spark, sf_dir)
+    cfg = EngineConfig(per_host_budget=100)
+    released, deferred = pop_batch(frontier, cfg, global_budget=50)
+    assert released.count() == 50
+    assert released.count() + deferred.count() == frontier.count()
+    # the released rows are the globally best (priority, seq)
+    top = frontier.orderBy("priority", "seq").limit(1).collect()[0]["url"]
+    assert released.where(F.col("url") == top).count() == 1
+
+
+def test_partition_for_fetch_preserves_rows(spark, sf_dir):
+    frontier = seed_frontier(spark, sf_dir)
+    cfg = EngineConfig(request_workers=8)
+    placed = partition_for_fetch(frontier, cfg)
+    assert placed.count() == frontier.count()
+    assert placed.rdd.getNumPartitions() == 8
+
+
+def test_robots_gate(spark, sf_dir):
+    frontier = seed_frontier(spark, sf_dir)
+    robots = spark.createDataFrame(
+        [("host-0.test", ["/order"], 1000), ("host-1.test", ["/nope"], 0)],
+        "host string, disallow_prefixes array<string>, crawl_delay_ms int",
+    )
+    allowed, blocked = robots_gate(frontier, robots)
+    assert blocked.where(F.col("host") != "host-0.test").count() == 0
+    assert blocked.count() == frontier.where(F.col("host") == "host-0.test").count()
+    assert allowed.count() + blocked.count() == frontier.count()
+    # explain: the rules join must be a broadcast
+    plan = allowed._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan

@@ -1,0 +1,47 @@
+"""F10: URL-seen set — exact anti-join oracle vs bloom candidate filter."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ganda_spark.operators.seen import (
+    build_bloom,
+    filter_unseen_bloom,
+    filter_unseen_exact,
+)
+from ganda_spark.sources.frontier import seed_frontier
+
+
+def test_exact_antijoin(spark, sf_dir):
+    frontier = seed_frontier(spark, sf_dir)
+    seen = frontier.where(F.col("seq") % 3 == 0).select("url")
+    unseen = filter_unseen_exact(frontier, seen)
+    assert unseen.count() == frontier.where(F.col("seq") % 3 != 0).count()
+    # no seen url survives
+    assert unseen.join(seen, "url", "inner").count() == 0
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    """Bloom result ⊆ exact result; every withheld row is genuinely seen OR
+    a bounded false positive — never a lost unseen row fetched twice."""
+    frontier = seed_frontier(spark, sf_dir)
+    seen = frontier.where(F.col("seq") % 3 == 0).select("url")
+    bloom = build_bloom(seen, n_bits=1 << 20, n_hashes=5)
+    exact = filter_unseen_exact(frontier, seen).select("url")
+    bloom_out = filter_unseen_bloom(frontier, bloom).select("url")
+    # subset: bloom never passes a seen url
+    assert bloom_out.exceptAll(exact).count() == 0
+    # false-positive rate bounded (m/n generous here → expect ≈0)
+    n_exact, n_bloom = exact.count(), bloom_out.count()
+    assert n_bloom >= n_exact * 0.98
+
+
+def test_bloom_merge_is_union(spark, sf_dir):
+    frontier = seed_frontier(spark, sf_dir).limit(400)
+    a = frontier.where(F.col("seq") % 2 == 0).select("url")
+    b = frontier.where(F.col("seq") % 2 == 1).select("url")
+    bloom_a = build_bloom(a, n_bits=1 << 18)
+    bloom_b = build_bloom(b, n_bits=1 << 18)
+    merged = bloom_a.union(bloom_b)
+    out = filter_unseen_bloom(frontier, merged)
+    assert out.count() == 0  # everything is seen in the union
