@@ -1,0 +1,94 @@
+"""K5: snapshot checkpointing for resumable crawls.
+
+Production target is Iceberg (MERGE INTO the seen set, snapshot per
+generation); the sandbox has no Iceberg runtime jar, so the same contract is
+implemented over parquet snapshot directories with an atomically-renamed
+manifest — commit protocol: write data → write manifest.json → rename to
+committed marker. Resume = highest committed generation. The public API is
+backend-agnostic so an Iceberg backend slots in unchanged.
+
+Per-partition lineage (batch_id, partition_id) rides on every committed
+DataFrame via spark_partition_id() — the north rule's lineage requirement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Snapshot:
+    generation: int
+    path: str
+    manifest: dict
+
+
+class CheckpointStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- commit protocol ----------------------------------------------------
+
+    def _gen_dir(self, gen: int) -> str:
+        return os.path.join(self.root, f"gen={gen:06d}")
+
+    def commit(self, gen: int, tables: dict[str, DataFrame], metrics: dict) -> Snapshot:
+        """Write each DataFrame (with lineage columns) + manifest; the
+        manifest write is the commit point — a crash before it leaves an
+        uncommitted (ignored) directory, after it a complete snapshot."""
+        gen_dir = self._gen_dir(gen)
+        counts = {}
+        for name, df in tables.items():
+            out = df.withColumn("_batch_id", F.lit(gen)).withColumn(
+                "_partition_id", F.spark_partition_id()
+            )
+            out.write.mode("overwrite").parquet(os.path.join(gen_dir, name))
+            counts[name] = None  # filled from metrics to avoid extra jobs
+        manifest = {
+            "generation": gen,
+            "tables": sorted(tables),
+            "metrics": metrics,
+            "committed_at_unix": int(time.time()),
+        }
+        tmp = os.path.join(gen_dir, "_manifest.tmp")
+        final = os.path.join(gen_dir, "manifest.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.rename(tmp, final)  # atomic commit point
+        return Snapshot(gen, gen_dir, manifest)
+
+    # -- resume ---------------------------------------------------------------
+
+    def committed_generations(self) -> list[int]:
+        gens = []
+        if not os.path.isdir(self.root):
+            return gens
+        for d in sorted(os.listdir(self.root)):
+            if d.startswith("gen=") and os.path.exists(
+                os.path.join(self.root, d, "manifest.json")
+            ):
+                gens.append(int(d.split("=")[1]))
+        return gens
+
+    def latest(self) -> Snapshot | None:
+        gens = self.committed_generations()
+        if not gens:
+            return None
+        gen = gens[-1]
+        with open(os.path.join(self._gen_dir(gen), "manifest.json")) as f:
+            return Snapshot(gen, self._gen_dir(gen), json.load(f))
+
+    def read(self, spark: SparkSession, gen: int, table: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(self._gen_dir(gen), table)).drop(
+            "_batch_id", "_partition_id"
+        )
+
+    def read_lineage(self, spark: SparkSession, gen: int, table: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(self._gen_dir(gen), table))

@@ -1,0 +1,169 @@
+"""The iterative crawl driver — ganda's channel cascade re-expressed as a
+micro-batch generation loop (SURVEY.md §3.1 step 5).
+
+Per generation:
+  frontier → anti-join(seen) → robots → politeness pop → fetch →
+  results/errors; deferred rows + newly-discovered URLs become the next
+  generation's frontier; seen set grows by the released URLs; everything
+  commits to the CheckpointStore (Iceberg-snapshot stand-in) so a killed
+  run resumes exactly where the last manifest committed.
+
+Retry deferral across generations (F4's deferred-row re-queue): rows that
+exhausted in-UDF retries re-enter the frontier with attempt+1 and a
+not_before generation; they are withheld from pop until then — the
+scale-safe version of per-task backoff sleeps.
+
+Metrics (north rule: fetch/dedup/defer per partition) come from
+df.observe() accumulators — no extra actions.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from ganda_spark.config import EngineConfig
+from ganda_spark.operators.fetch import mock_fetch_udf, split_results
+from ganda_spark.operators.politeness import partition_for_fetch, pop_batch, robots_gate
+from ganda_spark.operators.seen import filter_unseen_exact
+from ganda_spark.streaming.checkpoint import CheckpointStore
+
+FRONTIER_SCHEMA = (
+    "seq long, url string, host string, priority int, context array<string>, "
+    "attempt int, not_before int"
+)
+
+
+def _with_retry_cols(frontier: DataFrame) -> DataFrame:
+    out = frontier
+    if "attempt" not in out.columns:
+        out = out.withColumn("attempt", F.lit(0))
+    if "not_before" not in out.columns:
+        out = out.withColumn("not_before", F.lit(0))
+    return out
+
+
+class CrawlDriver:
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: EngineConfig,
+        checkpoint_dir: str,
+        robots: DataFrame | None = None,
+        discover: Callable[[DataFrame], DataFrame] | None = None,
+        max_redelivery: int = 2,
+    ):
+        """discover: results DataFrame → new frontier rows
+        (seq, url, host, priority, context) — e.g. extract_urls over span
+        docs keyed by the fetched URL."""
+        self.spark = spark
+        self.cfg = cfg
+        self.store = CheckpointStore(checkpoint_dir)
+        self.robots = robots
+        self.discover = discover
+        self.max_redelivery = max_redelivery
+
+    # -- resume -------------------------------------------------------------
+
+    def load_state(self, seed: DataFrame) -> tuple[int, DataFrame, DataFrame]:
+        """(next_gen, frontier, seen) — from the latest committed snapshot,
+        or generation 0 with the seed frontier."""
+        snap = self.store.latest()
+        if snap is None:
+            empty_seen = self.spark.createDataFrame([], "url string")
+            return 0, _with_retry_cols(seed), empty_seen
+        frontier = self.store.read(self.spark, snap.generation, "frontier")
+        seen = self.store.read(self.spark, snap.generation, "seen")
+        return snap.generation + 1, frontier, seen
+
+    # -- one generation -------------------------------------------------------
+
+    def run_generation(
+        self, gen: int, frontier: DataFrame, seen: DataFrame
+    ) -> tuple[DataFrame, DataFrame, dict]:
+        """Returns (next_frontier, next_seen, metrics) and commits the
+        snapshot. All accounting happens through observe() — one pass."""
+        cfg = self.cfg
+        eligible = frontier.where(F.col("not_before") <= gen)
+        held = frontier.where(F.col("not_before") > gen)
+
+        unseen = filter_unseen_exact(eligible, seen)
+        if self.robots is not None:
+            allowed, _blocked = robots_gate(unseen, self.robots)
+        else:
+            allowed = unseen
+        released, deferred = pop_batch(allowed, cfg)
+
+        obs = Observation(f"gen{gen}")
+        placed = partition_for_fetch(released, cfg).observe(
+            obs, F.count(F.lit(1)).alias("released_rows")
+        )
+        fetched = mock_fetch_udf(placed, cfg)
+        results, errors = split_results(fetched)
+
+        # F4: exhausted rows re-enter with attempt+1 and a backoff horizon
+        redeliver = (
+            errors.where(F.col("attempt") + 1 <= self.max_redelivery)
+            .select(
+                "seq", "url", "host", "priority", "context",
+                (F.col("attempt") + 1).alias("attempt"),
+                F.lit(gen + 2).alias("not_before"),  # skip one generation
+            )
+        )
+
+        next_frontier = deferred.select(*redeliver.columns).unionByName(
+            held.select(*redeliver.columns)
+        ).unionByName(redeliver)
+
+        if self.discover is not None:
+            discovered = _with_retry_cols(self.discover(results)).select(
+                *redeliver.columns
+            )
+            next_frontier = next_frontier.unionByName(discovered)
+
+        # seen = fetched OK ∪ permanently failed. NOT the redelivered rows —
+        # they must survive the next generation's anti-join.
+        perma_failed = errors.where(F.col("attempt") + 1 > self.max_redelivery)
+        next_seen = (
+            seen.unionByName(results.select("url"))
+            .unionByName(perma_failed.select("url"))
+            .distinct()
+        )
+
+        results_cached = results.cache()
+        n_results = results_cached.count()
+        metrics = {
+            "generation": gen,
+            "released": int(obs.get["released_rows"]),
+            "results": n_results,
+            "errors": errors.count(),
+        }
+        self.store.commit(
+            gen,
+            {
+                "results": results_cached,
+                "errors": errors,
+                "frontier": next_frontier,
+                "seen": next_seen,
+            },
+            metrics,
+        )
+        # read back the committed state: truncates lineage, keeps plans flat
+        committed_frontier = self.store.read(self.spark, gen, "frontier")
+        committed_seen = self.store.read(self.spark, gen, "seen")
+        results_cached.unpersist()
+        return committed_frontier, committed_seen, metrics
+
+    # -- full loop -------------------------------------------------------------
+
+    def run(self, seed: DataFrame, max_generations: int = 10) -> list[dict]:
+        gen, frontier, seen = self.load_state(seed)
+        all_metrics = []
+        for g in range(gen, gen + max_generations):
+            if frontier.isEmpty():
+                break
+            frontier, seen, metrics = self.run_generation(g, frontier, seen)
+            all_metrics.append(metrics)
+        return all_metrics

@@ -1,0 +1,131 @@
+"""K5/F4: generation loop, checkpoint commit protocol, kill-and-resume,
+cross-generation retry redelivery."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from ganda_spark.config import EngineConfig
+from ganda_spark.sources.frontier import seed_frontier
+from ganda_spark.streaming.checkpoint import CheckpointStore
+from ganda_spark.streaming.frontier_loop import CrawlDriver
+
+
+@pytest.fixture()
+def ckpt(tmp_path):
+    return str(tmp_path / "ckpt")
+
+
+def _seed(spark, sf_dir, n=300):
+    return seed_frontier(spark, sf_dir).limit(n)
+
+
+def test_loop_drains_frontier(spark, sf_dir, ckpt):
+    cfg = EngineConfig(retries=0, request_workers=4, per_host_budget=10)
+    driver = CrawlDriver(spark, cfg, ckpt)
+    metrics = driver.run(_seed(spark, sf_dir), max_generations=50)
+    # every generation releases ≤ budget×hosts and the loop terminates
+    assert metrics[-1]["released"] > 0
+    total_results = sum(m["results"] for m in metrics)
+    store = CheckpointStore(ckpt)
+    last = store.latest()
+    seen = store.read(spark, last.generation, "seen")
+    # all results are in the seen set; no url fetched twice
+    all_results = [
+        store.read(spark, g, "results") for g in store.committed_generations()
+    ]
+    from functools import reduce
+
+    union = reduce(lambda a, b: a.unionByName(b), all_results)
+    assert union.count() == total_results
+    assert union.select("url").distinct().count() == total_results  # no double fetch
+    assert union.join(seen, "url", "left_anti").count() == 0
+
+
+def test_retry_redelivery_across_generations(spark, sf_dir, ckpt):
+    """retries=0 ⇒ every 5xx row fails its generation, then re-enters with
+    attempt+1 after its not_before horizon, and is finally perma-failed."""
+    cfg = EngineConfig(retries=0, request_workers=4, per_host_budget=1000)
+    driver = CrawlDriver(spark, cfg, ckpt, max_redelivery=2)
+    seed = _seed(spark, sf_dir, 1000)
+    metrics = driver.run(seed, max_generations=20)
+    store = CheckpointStore(ckpt)
+    gens = store.committed_generations()
+    assert len(gens) >= 3  # redelivery forces extra generations
+    err0 = store.read(spark, 0, "errors")
+    n_err0 = err0.count()
+    assert n_err0 > 0
+    # every gen-0 error shows up in a later frontier with attempt=1
+    f0 = store.read(spark, 0, "frontier")
+    redelivered = f0.where(F.col("attempt") == 1)
+    assert redelivered.count() == n_err0
+    assert redelivered.where(F.col("not_before") <= 0).count() == 0
+
+
+def test_kill_and_resume(spark, sf_dir, ckpt):
+    cfg = EngineConfig(retries=1, request_workers=4, per_host_budget=5)
+    seed = _seed(spark, sf_dir, 400)
+    # run 2 generations, "crash"
+    d1 = CrawlDriver(spark, cfg, ckpt)
+    gen, frontier, seen = d1.load_state(seed)
+    for g in range(2):
+        frontier, seen, _ = d1.run_generation(g, frontier, seen)
+    # resume with a FRESH driver: must continue at gen 2, not refetch
+    d2 = CrawlDriver(spark, cfg, ckpt)
+    gen2, frontier2, seen2 = d2.load_state(seed)
+    assert gen2 == 2
+    assert seen2.count() == seen.count()
+    m = d2.run(seed, max_generations=30)
+    store = CheckpointStore(ckpt)
+    all_gens = store.committed_generations()
+    assert all_gens[0] == 0 and all_gens[1] == 1 and len(all_gens) >= 3
+    # the full run's seen set equals the union of all results+perma-failures,
+    # and no url was fetched in two different generations
+    from functools import reduce
+
+    results = [store.read(spark, g, "results") for g in all_gens]
+    union = reduce(lambda a, b: a.unionByName(b), results)
+    assert union.count() == union.select("url").distinct().count()
+
+
+def test_lineage_columns_committed(spark, sf_dir, ckpt):
+    cfg = EngineConfig(retries=1, request_workers=4)
+    driver = CrawlDriver(spark, cfg, ckpt)
+    driver.run(_seed(spark, sf_dir, 100), max_generations=2)
+    store = CheckpointStore(ckpt)
+    lin = store.read_lineage(spark, 0, "results")
+    assert "_batch_id" in lin.columns and "_partition_id" in lin.columns
+    assert lin.select("_batch_id").distinct().collect()[0][0] == 0
+    assert lin.select("_partition_id").distinct().count() >= 1
+
+
+def test_discovery_expands_frontier(spark, sf_dir, ckpt):
+    """Fetched pages yield new URLs (span extraction model) that get
+    crawled in later generations exactly once."""
+    cfg = EngineConfig(retries=1, request_workers=4, per_host_budget=1000)
+
+    def discover(results):
+        # each fetched /order/K page "links to" /order/K+100000
+        return results.select(
+            (F.col("seq") + 1_000_000).alias("seq"),
+            F.concat(F.col("url"), F.lit("/next")).alias("url"),
+            F.col("host"),
+            F.col("priority"),
+            F.col("context"),
+        ).where(~F.col("url").rlike("/next/next"))  # depth 1 only
+
+    driver = CrawlDriver(spark, cfg, ckpt, discover=discover)
+    metrics = driver.run(_seed(spark, sf_dir, 100), max_generations=10)
+    store = CheckpointStore(ckpt)
+    from functools import reduce
+
+    results = [
+        store.read(spark, g, "results") for g in store.committed_generations()
+    ]
+    union = reduce(lambda a, b: a.unionByName(b), results)
+    n_next = union.where(F.col("url").endswith("/next")).count()
+    assert n_next > 0
+    assert union.count() == union.select("url").distinct().count()
