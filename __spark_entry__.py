@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry in ``queries()`` is an implemented operator from SURVEY.md §2
+(IDs in the key names); ``oracle_sql()`` carries the DuckDB-equivalent SQL
+over the same parquet views. Column names and value rendering are aligned
+dialect-by-dialect via ganda_spark.spec (shared constants) — the mock web
+is a pure function of md5(url) both engines compute identically.
 """
 
 from __future__ import annotations
@@ -12,27 +12,657 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ganda_spark import spec
+from ganda_spark.config import EngineConfig
+from ganda_spark.functions.transforms import (
+    body_output,
+    go_json_escape,
+    json_envelope,
+    sanitize_filename,
+    shard_dir,
+)
+from ganda_spark.operators.fetch import mock_fetch_plan, mock_fetch_udf
+from ganda_spark.operators.politeness import pop_batch, robots_gate
+from ganda_spark.operators.seen import build_bloom, filter_unseen_bloom, filter_unseen_exact
+from ganda_spark.sources.frontier import seed_frontier
+from ganda_spark.sources.json_lines import decode_body, parse_json_lines
+from ganda_spark.sources.spans import (
+    assemble_spans,
+    explode_spans,
+    extract_urls,
+    synth_span_docs,
+)
+from ganda_spark.sources.url_lines import parse_url_lines
+
+# ---------------------------------------------------------------------------
+# shared oracle fragments (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+_DUCK_FRONTIER = f"frontier AS ({spec.frontier_sql('duckdb')})"
+
+_BS = "chr(92)"  # a literal backslash, dialect-safe
+
+
+def _duck_go_escape(expr: str) -> str:
+    """DuckDB replace-chain mirroring ganda_spark.functions.go_json_escape
+    (same order: backslash, quote, \\n, \\t, \\r, <, >, &)."""
+    c = f"replace({expr}, {_BS}, {_BS} || {_BS})"
+    c = f"replace({c}, '\"', {_BS} || '\"')"
+    c = f"replace({c}, chr(10), {_BS} || 'n')"
+    c = f"replace({c}, chr(9), {_BS} || 't')"
+    c = f"replace({c}, chr(13), {_BS} || 'r')"
+    c = f"replace({c}, '<', {_BS} || 'u003c')"
+    c = f"replace({c}, '>', {_BS} || 'u003e')"
+    c = f"replace({c}, '&', {_BS} || 'u0026')"
+    return c
+
+
+def _fetched_cte(retries: int = 1) -> str:
+    o = spec.fetch_outcome_sql("duckdb", url_expr="url", retries=retries)
+    body = spec.echo_body_sql("duckdb", "url", "host")
+    return f"""fetched AS (
+  SELECT seq, url, host, priority, context,
+         CAST({o['status_final']} AS INT) AS status,
+         CAST({o['attempts']} AS INT) AS attempts,
+         {o['dropped']} AS dropped,
+         CAST({o['latency_ms']} AS BIGINT) AS latency_ms,
+         CASE WHEN {o['status_final']} = 200 THEN {body} ELSE '' END AS body
+  FROM frontier
+)"""
+
+
+# ---------------------------------------------------------------------------
+# entry + registry
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: one full crawl generation (seen anti-join → robots →
+    politeness pop → fetch with retry → sha256 JSON envelope) at sf0.001."""
+    return q_k1_crawl_pipeline(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in _REGISTRY.items() if sql is not None}
+
+
+# ---------------------------------------------------------------------------
+# S4: URL + ragged TSV lines  (parser/parser.go:53-87)
+# ---------------------------------------------------------------------------
+
+
+def q_s4_url_tsv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frontier = seed_frontier(spark, sf_dir)
+    lines = frontier.select(
+        F.when(
+            F.col("seq") % 4 == 0, F.col("url")  # no context
+        )
+        .when(
+            F.col("seq") % 4 == 1,
+            F.concat_ws("\t", F.col("url"), F.element_at("context", 1)),
+        )
+        .otherwise(
+            F.concat_ws(
+                "\t", F.col("url"), F.element_at("context", 1), F.element_at("context", 2)
+            )
+        )
+        .alias("value")
+    )
+    parsed = parse_url_lines(spark, lines)
+    return parsed.select(
+        "url",
+        F.try_element_at("context", F.lit(1)).alias("c0"),
+        F.try_element_at("context", F.lit(2)).alias("c1"),
+    )
+
+
+_SQL_S4 = f"""
+WITH {_DUCK_FRONTIER}
+SELECT url,
+       CASE WHEN seq % 4 = 0 THEN NULL ELSE context[1] END AS c0,
+       CASE WHEN seq % 4 IN (0, 1) THEN NULL ELSE context[2] END AS c1
+FROM frontier
+"""
+
+
+# ---------------------------------------------------------------------------
+# S5/S8/S9: JSON-lines request specs (request.schema.json, parser.go:98-165)
+# ---------------------------------------------------------------------------
+
+
+def q_s5_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frontier = seed_frontier(spark, sf_dir)
+    line = F.concat(
+        F.lit('{"url":"'),
+        F.col("url"),
+        F.lit('"'),
+        F.when(F.col("seq") % 3 == 0, F.lit(',"method":"POST"')).otherwise(F.lit("")),
+        F.when(
+            F.col("seq") % 3 == 1, F.lit(',"headers":{"x-static":"line-wins"}')
+        ).otherwise(F.lit("")),
+        F.lit(',"context":'),
+        F.to_json("context"),
+        F.lit("}"),
+    )
+    cfg = EngineConfig(request_headers={"x-static": "from-config"})
+    parsed = parse_json_lines(frontier.select(line.alias("value")), cfg)
+    return parsed.select(
+        "url",
+        "method",
+        F.element_at("headers", "x-static").alias("x_static"),
+        F.col("context_json"),
+    )
+
+
+_SQL_S5 = f"""
+WITH {_DUCK_FRONTIER}
+SELECT url,
+       CASE WHEN seq % 3 = 0 THEN 'POST' ELSE 'GET' END AS method,
+       CASE WHEN seq % 3 = 1 THEN 'line-wins' ELSE 'from-config' END AS x_static,
+       concat('["', context[1], '","', context[2], '"]') AS context_json
+FROM frontier
+"""
+
+
+# ---------------------------------------------------------------------------
+# S6: request body decode (parser/parser.go:167-191)
+# ---------------------------------------------------------------------------
+
+
+def q_s6_body_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    src = part.select(
+        "p_partkey",
+        F.when(F.col("p_partkey") % 3 == 0, F.lit("base64"))
+        .when(F.col("p_partkey") % 3 == 1, F.lit("escaped"))
+        .otherwise(F.lit("json"))
+        .alias("body_type"),
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            F.concat(F.lit('"'), F.base64(F.col("p_name").cast("binary")), F.lit('"')),
+        )
+        .when(
+            F.col("p_partkey") % 3 == 1,
+            F.concat(F.lit('"'), F.col("p_name"), F.lit('"')),
+        )
+        .otherwise(F.concat(F.lit('{"name":"'), F.col("p_name"), F.lit('"}')))
+        .alias("body"),
+    )
+    return src.select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        "body_type",
+        decode_body(F.col("body"), F.col("body_type")).alias("decoded"),
+    )
+
+
+_SQL_S6 = """
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+       CASE WHEN p_partkey % 3 = 0 THEN 'base64'
+            WHEN p_partkey % 3 = 1 THEN 'escaped' ELSE 'json' END AS body_type,
+       CASE WHEN p_partkey % 3 = 0 THEN p_name
+            WHEN p_partkey % 3 = 1 THEN p_name
+            ELSE concat('{"name":"', p_name, '"}') END AS decoded
+FROM part
+"""
+
+
+# ---------------------------------------------------------------------------
+# T1-T5: transform matrix over fetched bodies
+# ---------------------------------------------------------------------------
+
+
+def q_t_transform_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fetched = mock_fetch_plan(seed_frontier(spark, sf_dir), EngineConfig(retries=1))
+    b = F.col("body")
+    return fetched.select(
+        "url",
+        body_output(b, "raw").alias("raw_out"),
+        body_output(b, "sha256").alias("sha256_out"),
+        body_output(b, "base64").alias("base64_out"),
+        body_output(b, "escaped").alias("escaped_out"),
+        body_output(b, "discard").alias("discard_out"),
+    )
+
+
+_SQL_T_MATRIX = f"""
+WITH {_DUCK_FRONTIER}, {_fetched_cte(retries=1)}
+SELECT url,
+       CASE WHEN length(body) > 0 THEN body END AS raw_out,
+       CASE WHEN length(body) > 0 THEN sha256(body) END AS sha256_out,
+       CASE WHEN length(body) > 0 THEN to_base64(encode(body)) END AS base64_out,
+       CASE WHEN length(body) > 0
+            THEN concat('"', {_duck_go_escape('body')}, '"') END AS escaped_out,
+       CAST(NULL AS VARCHAR) AS discard_out
+FROM fetched
+"""
+
+
+# ---------------------------------------------------------------------------
+# T6: JSON envelope (responses/responses.go:127-201)
+# ---------------------------------------------------------------------------
+
+
+def q_t6_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fetched = mock_fetch_plan(seed_frontier(spark, sf_dir), EngineConfig(retries=1))
+    return fetched.select(
+        "url",
+        json_envelope(
+            F.col("url"),
+            F.col("status"),
+            F.col("body"),
+            "sha256",
+            context_json=F.to_json("context"),
+        ).alias("line"),
+    )
+
+
+_SQL_T6 = f"""
+WITH {_DUCK_FRONTIER}, {_fetched_cte(retries=1)}
+SELECT url,
+       concat('{{ "url": "', url, '", "code": ', CAST(status AS VARCHAR),
+              ', "body": ',
+              CASE WHEN length(body) > 0 THEN concat('"', sha256(body), '"')
+                   ELSE 'null' END,
+              ', "context": ', concat('["', context[1], '","', context[2], '"]'),
+              ' }}') AS line
+FROM fetched
+"""
+
+
+# ---------------------------------------------------------------------------
+# T7/T8: file sink naming (responses/responses.go:21,63,325-343)
+# ---------------------------------------------------------------------------
+
+
+def q_t7_file_naming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frontier = seed_frontier(spark, sf_dir)
+    fname = sanitize_filename(F.col("url"))
+    return frontier.select(
+        "url",
+        fname.alias("filename"),
+        shard_dir(fname, 2).alias("shard2"),
+        shard_dir(fname, 5).alias("shard4"),
+    )
+
+
+_SQL_T7 = f"""
+WITH {_DUCK_FRONTIER}
+SELECT url,
+       regexp_replace(url, '[^A-Za-z0-9]+', '-', 'g') AS filename,
+       substr(md5(regexp_replace(url, '[^A-Za-z0-9]+', '-', 'g')), 1, 2) AS shard2,
+       substr(md5(regexp_replace(url, '[^A-Za-z0-9]+', '-', 'g')), 1, 4) AS shard4
+FROM frontier
+"""
+
+
+# ---------------------------------------------------------------------------
+# P3: status classification (logger/logger.go:56-62, requests.go:99)
+# ---------------------------------------------------------------------------
+
+
+def q_p3_status_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fetched = mock_fetch_plan(seed_frontier(spark, sf_dir), EngineConfig(retries=0))
+    cls = (
+        F.when(F.col("status") < 400, "ok")
+        .when(F.col("status") < 500, "warn")
+        .otherwise("retryable")
+    )
+    return (
+        fetched.select("host", cls.alias("status_class"))
+        .groupBy("host", "status_class")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_SQL_P3 = f"""
+WITH {_DUCK_FRONTIER}, {_fetched_cte(retries=0)}
+SELECT host,
+       CASE WHEN status < 400 THEN 'ok'
+            WHEN status < 500 THEN 'warn' ELSE 'retryable' END AS status_class,
+       count(*) AS n
+FROM fetched
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# F4: retry schedule (requests/requests.go:83-124)
+# ---------------------------------------------------------------------------
+
+
+def q_f4_retry_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cfg = EngineConfig(retries=2, base_retry_delay_millis=1_000)
+    fetched = mock_fetch_plan(seed_frontier(spark, sf_dir), cfg)
+    # backoff after attempt a is min(base * 2^a, 30000); total over attempts-1
+    backoff = F.when(F.col("attempts") == 1, F.lit(0)).when(
+        F.col("attempts") == 2, F.lit(2_000)
+    ).otherwise(F.lit(2_000 + 4_000))
+    return fetched.select(
+        "url",
+        F.col("status").cast("long").alias("status_final"),
+        F.col("attempts").cast("long").alias("attempts"),
+        F.col("fetch_error").isNotNull().alias("dropped"),
+        backoff.cast("long").alias("backoff_ms"),
+    )
+
+
+def _sql_f4() -> str:
+    o = spec.fetch_outcome_sql("duckdb", retries=2)
+    return f"""
+WITH {_DUCK_FRONTIER}
+SELECT url,
+       CAST({o['status_final']} AS BIGINT) AS status_final,
+       CAST({o['attempts']} AS BIGINT) AS attempts,
+       {o['dropped']} AS dropped,
+       CAST(CASE {o['attempts']} WHEN 1 THEN 0 WHEN 2 THEN 2000
+            ELSE 6000 END AS BIGINT) AS backoff_ms
+FROM frontier
+"""
+
+
+# ---------------------------------------------------------------------------
+# F10: exact seen-set anti-join
+# ---------------------------------------------------------------------------
+
+
+def q_f10_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frontier = seed_frontier(spark, sf_dir)
+    seen = frontier.where(F.col("seq") % 3 == 0).select("url")
+    return filter_unseen_exact(frontier, seen).select("url", "host")
+
+
+_SQL_F10 = f"""
+WITH {_DUCK_FRONTIER}
+SELECT url, host FROM frontier WHERE seq % 3 <> 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# F9: priority pop (per-host top-k by priority, seq)
+# ---------------------------------------------------------------------------
+
+
+def q_f9_priority_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frontier = seed_frontier(spark, sf_dir)
+    released, _ = pop_batch(frontier, EngineConfig(per_host_budget=3))
+    return released.select("host", "url", F.col("priority").cast("long").alias("priority"))
+
+
+_SQL_F9 = f"""
+WITH {_DUCK_FRONTIER}
+SELECT host, url, CAST(priority AS BIGINT) AS priority
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY host ORDER BY priority, seq) AS rk
+  FROM frontier
+) WHERE rk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# F7: per-host budget accounting
+# ---------------------------------------------------------------------------
+
+
+def q_f7_host_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frontier = seed_frontier(spark, sf_dir)
+    budget = 50
+    return frontier.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.least(F.count(F.lit(1)), F.lit(budget)).cast("long").alias("released"),
+        (F.count(F.lit(1)) - F.least(F.count(F.lit(1)), F.lit(budget)))
+        .cast("long")
+        .alias("deferred"),
+    )
+
+
+_SQL_F7 = f"""
+WITH {_DUCK_FRONTIER}
+SELECT host, count(*) AS n,
+       least(count(*), 50) AS released,
+       count(*) - least(count(*), 50) AS deferred
+FROM frontier GROUP BY host
+"""
+
+
+# ---------------------------------------------------------------------------
+# F8: robots gating (broadcast rules join)
+# ---------------------------------------------------------------------------
+
+
+def q_f8_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frontier = seed_frontier(spark, sf_dir)
+    host_id = F.regexp_extract(F.col("host"), r"host-(\d+)\.test", 1).cast("int")
+    robots = (
+        frontier.select("host").distinct()
+        .where(host_id % 7 == 0)
+        .select(
+            "host",
+            F.array(F.lit("/order")).alias("disallow_prefixes"),
+            F.lit(1000).alias("crawl_delay_ms"),
+        )
+    )
+    _allowed, blocked = robots_gate(frontier, robots)
+    return blocked.select("url", "host")
+
+
+_SQL_F8 = f"""
+WITH {_DUCK_FRONTIER}
+SELECT url, host FROM frontier
+WHERE CAST(regexp_extract(host, 'host-(\\d+)\\.test', 1) AS INT) % 7 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# K4: mock fetch through the REAL mapInPandas path (per-partition session)
+# ---------------------------------------------------------------------------
+
+
+def q_k4_mock_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fetched = mock_fetch_udf(
+        seed_frontier(spark, sf_dir), EngineConfig(retries=1, request_workers=16)
+    )
+    return fetched.select(
+        "url",
+        F.col("status").cast("long").alias("status"),
+        F.col("attempts").cast("long").alias("attempts"),
+        "body",
+        "latency_ms",
+    )
+
+
+_SQL_K4 = f"""
+WITH {_DUCK_FRONTIER}, {_fetched_cte(retries=1)}
+SELECT url, CAST(status AS BIGINT) AS status, CAST(attempts AS BIGINT) AS attempts,
+       body, latency_ms
+FROM fetched
+"""
+
+
+# ---------------------------------------------------------------------------
+# K1: the flagship crawl pipeline (seen → robots → pop → fetch → envelope)
+# ---------------------------------------------------------------------------
+
+
+def q_k1_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frontier = seed_frontier(spark, sf_dir)
+    cfg = EngineConfig(retries=1, request_workers=16, per_host_budget=20)
+    seen = frontier.where(F.col("seq") % 10 == 0).select("url")
+    host_id = F.regexp_extract(F.col("host"), r"host-(\d+)\.test", 1).cast("int")
+    robots = (
+        frontier.select("host").distinct()
+        .where(host_id % 7 == 0)
+        .select(
+            "host",
+            F.array(F.lit("/order")).alias("disallow_prefixes"),
+            F.lit(0).alias("crawl_delay_ms"),
+        )
+    )
+    unseen = filter_unseen_exact(frontier, seen)
+    allowed, _blocked = robots_gate(unseen, robots)
+    released, _deferred = pop_batch(allowed, cfg)
+    fetched = mock_fetch_udf(released, cfg)
+    ok = fetched.where(F.col("fetch_error").isNull())
+    return ok.select(
+        "seq",
+        json_envelope(
+            F.col("url"),
+            F.col("status"),
+            F.col("body"),
+            "sha256",
+            context_json=F.to_json("context"),
+        ).alias("line"),
+    )
+
+
+def _sql_k1() -> str:
+    o = spec.fetch_outcome_sql("duckdb", retries=1)
+    body = spec.echo_body_sql("duckdb", "url", "host")
+    return f"""
+WITH {_DUCK_FRONTIER},
+unseen AS (SELECT * FROM frontier WHERE seq % 10 <> 0),
+allowed AS (
+  SELECT * FROM unseen
+  WHERE CAST(regexp_extract(host, 'host-(\\d+)\\.test', 1) AS INT) % 7 <> 0
+),
+released AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY host ORDER BY priority, seq) AS rk
+    FROM allowed
+  ) WHERE rk <= 20
+),
+fetched AS (
+  SELECT seq, url, host, context,
+         CAST({o['status_final']} AS INT) AS status,
+         {o['dropped']} AS dropped,
+         CASE WHEN {o['status_final']} = 200 THEN {body} ELSE '' END AS body
+  FROM released
+)
+SELECT seq,
+       concat('{{ "url": "', url, '", "code": ', CAST(status AS VARCHAR),
+              ', "body": ',
+              CASE WHEN length(body) > 0 THEN concat('"', sha256(body), '"')
+                   ELSE 'null' END,
+              ', "context": ', concat('["', context[1], '","', context[2], '"]'),
+              ' }}') AS line
+FROM fetched WHERE NOT dropped
+"""
+
+
+# ---------------------------------------------------------------------------
+# S10: span URL extraction over the interleaved corpus
+# ---------------------------------------------------------------------------
+
+
+def q_s10_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = synth_span_docs(spark, sf_dir)
+    return extract_urls(docs).select(
+        "doc_id", "kind", F.col("span_offset").cast("long").alias("span_offset"), "url"
+    )
+
+
+_SQL_S10 = f"""
+WITH d AS (
+  SELECT doc_id,
+         concat('http://host-', CAST(doc_id % 37 AS VARCHAR), '.test/doc/',
+                CAST(doc_id AS VARCHAR)) AS link_url,
+         concat('http://img-', CAST(doc_id % 11 AS VARCHAR), '.test/i/',
+                CAST(doc_id AS VARCHAR), '.jpg') AS img_url,
+         concat('http://vid-0.test/v/', CAST(doc_id AS VARCHAR), '.mp4') AS vid_url
+  FROM documents
+)
+SELECT concat('doc-', CAST(doc_id AS VARCHAR)) AS doc_id, 'link' AS kind,
+       CAST(1 AS BIGINT) AS span_offset, link_url AS url FROM d
+UNION ALL
+SELECT concat('doc-', CAST(doc_id AS VARCHAR)), 'image', CAST(3 AS BIGINT), img_url FROM d
+UNION ALL
+SELECT concat('doc-', CAST(doc_id AS VARCHAR)), 'video', CAST(4 AS BIGINT), vid_url
+FROM d WHERE doc_id % 3 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# T10: span assembly round trip (order invariance under shuffle)
+# ---------------------------------------------------------------------------
+
+
+def q_t10_span_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = synth_span_docs(spark, sf_dir)
+    flat = explode_spans(docs).repartition(16)  # destroy incidental order
+    rebuilt = assemble_spans(flat)
+    return explode_spans(rebuilt).select(
+        "doc_id", "kind", "text", "media_ref", F.col("offset").cast("long").alias("offset")
+    )
+
+
+_SQL_T10 = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), d AS (
+  SELECT doc_id, words, greatest(len(words) // 2, 1) AS half FROM w
+)
+SELECT concat('doc-', CAST(doc_id AS VARCHAR)) AS doc_id, 'text' AS kind,
+       array_to_string(list_slice(words, 1, half), ' ') AS text,
+       CAST(NULL AS VARCHAR) AS media_ref, CAST(0 AS BIGINT) AS offset FROM d
+UNION ALL
+SELECT concat('doc-', CAST(doc_id AS VARCHAR)), 'link',
+       concat('see http://host-', CAST(doc_id % 37 AS VARCHAR), '.test/doc/',
+              CAST(doc_id AS VARCHAR)),
+       NULL, CAST(1 AS BIGINT) FROM d
+UNION ALL
+SELECT concat('doc-', CAST(doc_id AS VARCHAR)), 'text',
+       array_to_string(
+         list_slice(words, half + 1, half + greatest(len(words) - half, 1)), ' '),
+       NULL, CAST(2 AS BIGINT) FROM d
+UNION ALL
+SELECT concat('doc-', CAST(doc_id AS VARCHAR)), 'image', '',
+       concat('http://img-', CAST(doc_id % 11 AS VARCHAR), '.test/i/',
+              CAST(doc_id AS VARCHAR), '.jpg'), CAST(3 AS BIGINT) FROM d
+UNION ALL
+SELECT concat('doc-', CAST(doc_id AS VARCHAR)), 'video', '',
+       concat('http://vid-0.test/v/', CAST(doc_id AS VARCHAR), '.mp4'),
+       CAST(4 AS BIGINT) FROM d WHERE doc_id % 3 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# bloom seen filter — probabilistic, no SQL equivalent (rows-only check);
+# exactness vs the anti-join oracle is pinned in tests/test_seen.py
+# ---------------------------------------------------------------------------
+
+
+def q_f10_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frontier = seed_frontier(spark, sf_dir)
+    seen = frontier.where(F.col("seq") % 3 == 0).select("url")
+    bloom = build_bloom(seen, n_bits=1 << 22, n_hashes=5)
+    return filter_unseen_bloom(frontier, bloom).select("url", "host")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+_REGISTRY: dict[str, tuple[Callable, str | None]] = {
+    "s4_url_tsv_parse": (q_s4_url_tsv_parse, _SQL_S4),
+    "s5_json_parse": (q_s5_json_parse, _SQL_S5),
+    "s6_body_decode": (q_s6_body_decode, _SQL_S6),
+    "t_transform_matrix": (q_t_transform_matrix, _SQL_T_MATRIX),
+    "t6_envelope": (q_t6_envelope, _SQL_T6),
+    "t7_file_naming": (q_t7_file_naming, _SQL_T7),
+    "p3_status_classify": (q_p3_status_classify, _SQL_P3),
+    "f4_retry_schedule": (q_f4_retry_schedule, _sql_f4()),
+    "f10_seen_antijoin": (q_f10_seen_antijoin, _SQL_F10),
+    "f9_priority_pop": (q_f9_priority_pop, _SQL_F9),
+    "f7_host_budget": (q_f7_host_budget, _SQL_F7),
+    "f8_robots_gate": (q_f8_robots_gate, _SQL_F8),
+    "k4_mock_fetch": (q_k4_mock_fetch, _SQL_K4),
+    "k1_crawl_pipeline": (q_k1_crawl_pipeline, _sql_k1()),
+    "s10_span_extract": (q_s10_span_extract, _SQL_S10),
+    "t10_span_assembly": (q_t10_span_assembly, _SQL_T10),
+    "f10_bloom_filter": (q_f10_bloom_filter, None),
+}

@@ -66,7 +66,12 @@ def body_output(body: Column, mode: str) -> Column:
     if mode == "sha256":
         return F.when(_nonempty(body), F.sha2(body.cast("binary"), 256))
     if mode == "base64":
-        return F.when(_nonempty(body), F.base64(body.cast("binary")))
+        # Spark's base64 is MIME-chunked (CRLF every 76 chars); the
+        # reference uses Go's StdEncoding (responses.go:258 — no breaks).
+        return F.when(
+            _nonempty(body),
+            F.regexp_replace(F.base64(body.cast("binary")), "[\\r\\n]", ""),
+        )
     if mode == "escaped":
         return F.when(
             _nonempty(body), F.concat(F.lit('"'), go_json_escape(body), F.lit('"'))
