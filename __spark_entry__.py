@@ -643,6 +643,553 @@ def q_f10_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_unseen_bloom(frontier, bloom).select("url", "host")
 
 
+# ===========================================================================
+# Training-data pipeline operators (north-rule additions, SURVEY.md §2.6)
+# ===========================================================================
+
+from ganda_spark.functions.text import (  # noqa: E402
+    fingerprint,
+    lang_id,
+    quality_metrics,
+    token_counts,
+)
+from ganda_spark.operators.dedup import (  # noqa: E402
+    exact_dup_groups,
+    jaccard_verify,
+    lsh_band_hashes,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+    with_shingles,
+)
+from ganda_spark.operators.multimodal import (  # noqa: E402
+    binary_meta,
+    decode_meta,
+    to_binary_table,
+)
+from ganda_spark.operators.similarity import (  # noqa: E402
+    ann_topk,
+    brute_force_topk,
+    lsh_bucket,
+)
+
+_DUCK_MD5INT = "CAST(('0x' || substr(md5({x}), 1, 12)) AS BIGINT)"
+_DUCK_MD5INT8 = "CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT)"
+
+# corpus with planted exact duplicates (doc_id % 5 == 0 → copy at +100000)
+_DUCK_DUP_CORPUS = """corpus AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id + 100000 AS BIGINT), text FROM documents WHERE doc_id % 5 = 0
+)"""
+
+# corpus with planted NEAR duplicates (drop last 3 words, doc_id % 2 == 0)
+_DUCK_NEAR_CORPUS = """corpus AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id + 100000 AS BIGINT),
+         array_to_string(list_slice(string_split(text, ' '), 1,
+             greatest(len(string_split(text, ' ')) - 3, 1)), ' ')
+  FROM documents WHERE doc_id % 2 = 0
+)"""
+
+_DUCK_SHINGLES = """sh AS (
+  SELECT doc_id, words,
+         CASE WHEN len(words) >= 3 THEN
+           [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+            for i in generate_series(1, len(words) - 2)]
+         ELSE [] END AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM corpus)
+)"""
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    copies = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text").unionByName(
+        copies.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    )
+
+
+def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split("text", " ")
+    mutated = F.concat_ws(
+        " ", F.slice(words, 1, F.greatest(F.size(words) - 3, F.lit(1)))
+    )
+    copies = docs.where(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), mutated.alias("text")
+    )
+    return docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text").unionByName(
+        copies.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    )
+
+
+# --- exact dedup -----------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    groups = exact_dup_groups(_dup_corpus(spark, sf_dir))
+    return groups.where(F.col("n_docs") > 1).select(
+        "text_hash", F.col("n_docs").cast("long").alias("n_docs"), "keep_id"
+    )
+
+
+_SQL_DEDUP_EXACT = f"""
+WITH {_DUCK_DUP_CORPUS}
+SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM corpus GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+# --- minhash signatures ------------------------------------------------------
+
+
+def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _near_corpus(spark, sf_dir)
+    sigs = minhash_signatures(with_shingles(docs), k=8)
+    return sigs.select("doc_id", *[f"sig_{s}" for s in range(8)])
+
+
+def _sql_minhash_sig() -> str:
+    sig_cols = ",\n       ".join(
+        "list_min([{h} for s in shingles]) AS sig_{i}".format(
+            h=_DUCK_MD5INT.format(x=f"concat('{i}:', s)"), i=i
+        )
+        for i in range(8)
+    )
+    return f"""
+WITH {_DUCK_NEAR_CORPUS}, {_DUCK_SHINGLES}
+SELECT doc_id, {sig_cols} FROM sh
+"""
+
+
+# --- minhash + LSH candidate pairs + jaccard verify --------------------------
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_shingles(_near_corpus(spark, sf_dir))
+    sigs = minhash_signatures(docs, k=8)
+    banded = lsh_band_hashes(sigs, k=8, rows_per_band=2)
+    pairs = lsh_candidate_pairs(banded, k=8, rows_per_band=2)
+    verified = jaccard_verify(pairs, docs)
+    return verified.where(F.col("jaccard") >= 0.5)
+
+
+def _sql_minhash_lsh() -> str:
+    sig_cols = ", ".join(
+        "list_min([{h} for s in shingles]) AS sig_{i}".format(
+            h=_DUCK_MD5INT.format(x=f"concat('{i}:', s)"), i=i
+        )
+        for i in range(8)
+    )
+    band_cols = ", ".join(
+        f"md5(concat(CAST(sig_{2*b} AS VARCHAR), '_', CAST(sig_{2*b+1} AS VARCHAR)))"
+        f" AS band_{b}"
+        for b in range(4)
+    )
+    band_union = "\nUNION ALL\n".join(
+        f"SELECT {b} AS band, band_{b} AS bh, doc_id FROM banded" for b in range(4)
+    )
+    return f"""
+WITH {_DUCK_NEAR_CORPUS}, {_DUCK_SHINGLES},
+sigs AS (SELECT doc_id, shingles, {sig_cols} FROM sh),
+banded AS (SELECT *, {band_cols} FROM sigs),
+allbands AS ({band_union}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM allbands a JOIN allbands b USING (band, bh)
+  WHERE a.doc_id < b.doc_id
+),
+dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh)
+SELECT id_a, id_b,
+       round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+             len(list_distinct(list_concat(x.s, y.s))), 4) AS jaccard
+FROM pairs JOIN dsh x ON x.doc_id = id_a JOIN dsh y ON y.doc_id = id_b
+WHERE round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+            len(list_distinct(list_concat(x.s, y.s))), 4) >= 0.5
+"""
+
+
+# --- simhash -----------------------------------------------------------------
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    out = simhash(docs.withColumn("words", F.split("text", " ")), bits=16)
+    return out.select("doc_id", "simhash")
+
+
+def _sql_simhash() -> str:
+    h = _DUCK_MD5INT.format(x="w")
+    terms = " + ".join(
+        f"CASE WHEN list_sum([CASE WHEN ({h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END "
+        f"for w in words]) >= 0 THEN {1 << b} ELSE 0 END"
+        for b in range(16)
+    )
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST({terms} AS BIGINT) AS simhash
+FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+"""
+
+
+# --- embedding near-dup + similarity search ----------------------------------
+
+_DUCK_COS = """
+round(
+  list_sum([qv[i] * nv[i] for i in generate_series(1, len(qv))]) /
+  (sqrt(list_sum([qv[i] * qv[i] for i in generate_series(1, len(qv))])) *
+   sqrt(list_sum([nv[i] * nv[i] for i in generate_series(1, len(nv))]))), 4)
+"""
+
+
+def q_sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10)
+    return brute_force_topk(emb, q, k=5).select(
+        F.col("qid").cast("long").alias("qid"),
+        F.col("nid").cast("long").alias("nid"),
+        "rank",
+        "cos_r",
+    )
+
+
+_SQL_SIM_TOPK = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS qid, n.vec_id AS nid, q.v AS qv, n.v AS nv
+  FROM e q JOIN e n ON q.vec_id < 10 AND q.vec_id <> n.vec_id
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid,
+       CAST(rank AS BIGINT) AS rank, cos_r
+FROM (
+  SELECT qid, nid, {_DUCK_COS} AS cos_r,
+         row_number() OVER (PARTITION BY qid ORDER BY
+           list_sum([qv[i] * nv[i] for i in generate_series(1, len(qv))]) /
+           (sqrt(list_sum([qv[i] * qv[i] for i in generate_series(1, len(qv))])) *
+            sqrt(list_sum([nv[i] * nv[i] for i in generate_series(1, len(nv))])))
+           DESC, nid ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted near-identical vectors (first component nudged) must be
+    found by a cosine >= 0.999 pair scan restricted to a candidate window."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    nudged = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i == 0, x.cast("double") + 0.001).otherwise(
+                x.cast("double")
+            ),
+        ).alias("embedding"),
+    )
+    corpus = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    ).unionByName(nudged)
+    a = corpus.alias("a")
+    b = corpus.alias("b")
+    from ganda_spark.operators.similarity import cosine
+
+    pairs = (
+        a.join(b, (F.col("b.vec_id") - F.col("a.vec_id")) == 100000)
+        .select(
+            F.col("a.vec_id").cast("long").alias("id_a"),
+            F.col("b.vec_id").cast("long").alias("id_b"),
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 4).alias("cos_r"),
+        )
+    )
+    return pairs.where(F.col("cos_r") >= 0.999)
+
+
+_SQL_DEDUP_EMB = """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+corpus AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, v FROM base
+  UNION ALL
+  SELECT CAST(vec_id + 100000 AS BIGINT),
+         [CASE WHEN i = 1 THEN v[i] + 0.001 ELSE v[i] END
+          for i in generate_series(1, len(v))]
+  FROM base WHERE vec_id % 10 = 0
+)
+SELECT id_a, id_b, cos_r FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(
+           list_sum([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))]) /
+           (sqrt(list_sum([a.v[i] * a.v[i] for i in generate_series(1, len(a.v))])) *
+            sqrt(list_sum([b.v[i] * b.v[i] for i in generate_series(1, len(b.v))]))),
+           4) AS cos_r
+  FROM corpus a JOIN corpus b ON b.vec_id - a.vec_id = 100000
+) WHERE cos_r >= 0.999
+"""
+
+
+def q_sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    return lsh_bucket(emb, n_planes=8, dim=dim).select(
+        F.col("vec_id").cast("long").alias("vec_id"), "bucket"
+    )
+
+
+def _sql_lsh_buckets() -> str:
+    # plane sign: +1 iff md5int12(p:d) % 2 = 0 — identical to
+    # ganda_spark.operators.similarity.hyperplane_signs
+    sign = (
+        "CASE WHEN CAST(('0x' || substr(md5(concat({p}, ':', i - 1)), 1, 12)) "
+        "AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END"
+    )
+    bits = " + ".join(
+        "CASE WHEN list_sum([v[i] * {s} for i in generate_series(1, len(v))]) >= 0 "
+        "THEN {w} ELSE 0 END".format(s=sign.format(p=f"'{p}'"), w=1 << p)
+        for p in range(8)
+    )
+    return f"""
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST({bits} AS BIGINT) AS bucket
+FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+"""
+
+
+def q_sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    q = emb.where(F.col("vec_id") < 10)
+    return ann_topk(emb, q, k=5, n_planes=8, dim=dim).select(
+        F.col("qid").cast("long").alias("qid"),
+        F.col("nid").cast("long").alias("nid"),
+        "rank",
+        "cos_r",
+    )
+
+
+def _sql_ann_topk() -> str:
+    buckets = _sql_lsh_buckets()
+    return f"""
+WITH bkt AS ({buckets}),
+e AS (
+  SELECT CAST(embeddings.vec_id AS BIGINT) AS vec_id,
+         embedding::DOUBLE[] AS v, bucket
+  FROM embeddings JOIN bkt ON bkt.vec_id = embeddings.vec_id
+),
+scored AS (
+  SELECT q.vec_id AS qid, n.vec_id AS nid, q.v AS qv, n.v AS nv
+  FROM e q JOIN e n ON q.vec_id < 10 AND q.vec_id <> n.vec_id
+       AND q.bucket = n.bucket
+)
+SELECT qid, nid, CAST(rank AS BIGINT) AS rank, cos_r
+FROM (
+  SELECT qid, nid, {_DUCK_COS} AS cos_r,
+         row_number() OVER (PARTITION BY qid ORDER BY
+           list_sum([qv[i] * nv[i] for i in generate_series(1, len(qv))]) /
+           (sqrt(list_sum([qv[i] * qv[i] for i in generate_series(1, len(qv))])) *
+            sqrt(list_sum([nv[i] * nv[i] for i in generate_series(1, len(nv))])))
+           DESC, nid ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+# --- text analysis -------------------------------------------------------------
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lang_id(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang_guess"
+    )
+
+
+_SQL_LANG = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+hits AS (
+  SELECT doc_id,
+    len([x for x in words if x IN ('the','a','of','and','to')]) AS h_en,
+    len([x for x in words if x IN ('der','die','das','und','ist')]) AS h_de,
+    len([x for x in words if x IN ('le','la','les','et','est')]) AS h_fr,
+    len([x for x in words if x IN ('el','los','las','y','es')]) AS h_es
+  FROM w
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CASE WHEN greatest(h_en,h_de,h_fr,h_es) = 0 THEN 'und'
+       WHEN h_de = greatest(h_en,h_de,h_fr,h_es) THEN 'de'
+       WHEN h_en = greatest(h_en,h_de,h_fr,h_es) THEN 'en'
+       WHEN h_es = greatest(h_en,h_de,h_fr,h_es) THEN 'es'
+       ELSE 'fr' END AS lang_guess
+FROM hits
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_metrics(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_words",
+        "n_chars_calc",
+        "avg_word_len_bp",
+        "stopword_bp",
+        "quality_score_bp",
+    )
+
+
+_SQL_QUALITY = """
+WITH m AS (
+  SELECT doc_id, length(text) AS n_chars_calc,
+         len(string_split(text, ' ')) AS n_words,
+         len([x for x in string_split(text, ' ')
+              if x IN ('the','a','of','and','to')]) AS en_hits
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_chars_calc AS BIGINT) AS n_chars_calc,
+       (n_chars_calc - (n_words - 1)) * 10000 // n_words AS avg_word_len_bp,
+       en_hits * 10000 // n_words AS stopword_bp,
+       CAST(least(n_words * 100, 10000) // 2 +
+            least((en_hits * 10000 // n_words) * 5, 10000) // 2 AS BIGINT)
+         AS quality_score_bp
+FROM m
+"""
+
+
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_counts(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "n_ws_tokens", "n_re_tokens"
+    )
+
+
+_SQL_TOKENS = r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+            AS BIGINT) AS n_re_tokens
+FROM documents
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fingerprint(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "fingerprint"
+    )
+
+
+_SQL_FINGERPRINT = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       list_sum([{_DUCK_MD5INT8.format(x='words[k]')} * (((k - 1) % 31) + 1)
+                 for k in generate_series(1, len(words))]) % 1000000007
+         AS fingerprint
+FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+"""
+
+
+# --- multimodal ------------------------------------------------------------------
+
+
+def q_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return binary_meta(to_binary_table(docs))
+
+
+_SQL_MM_META = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg'
+            WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       lower(hex(encode(substr(text, 1, 8)))) AS head_hex,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+
+def q_mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow decode pass (mapInPandas) with the deterministic fake
+    decoder — proven against SQL reconstruction of the same function."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return decode_meta(to_binary_table(docs)).select(
+        "doc_id",
+        "n_bytes",
+        "content_md5",
+        "format",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+    )
+
+
+_SQL_MM_DECODE = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5,
+       CASE WHEN doc_id % 3 = 0 THEN 'jpeg'
+            WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'mp4' END AS format,
+       CAST(64 + CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 1920
+            AS BIGINT) AS width,
+       CAST(64 + CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) % 1080
+            AS BIGINT) AS height
+FROM documents
+"""
+
+
+# --- relational extras (events windows + pricing summary) -----------------------
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:00:00").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 3)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+_SQL_EVENTS = """
+SELECT event_type, strftime(ts, '%Y-%m-%d %H:00:00') AS hour,
+       count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 3) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -665,4 +1212,21 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "s10_span_extract": (q_s10_span_extract, _SQL_S10),
     "t10_span_assembly": (q_t10_span_assembly, _SQL_T10),
     "f10_bloom_filter": (q_f10_bloom_filter, None),
+    # training-data pipeline ops
+    "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
+    "dedup_minhash_sig": (q_dedup_minhash_sig, _sql_minhash_sig()),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, _sql_minhash_lsh()),
+    "dedup_simhash": (q_dedup_simhash, _sql_simhash()),
+    "dedup_embedding": (q_dedup_embedding, _SQL_DEDUP_EMB),
+    "sim_topk_brute": (q_sim_topk_brute, _SQL_SIM_TOPK),
+    "sim_lsh_buckets": (q_sim_lsh_buckets, _sql_lsh_buckets()),
+    "sim_ann_topk": (q_sim_ann_topk, _sql_ann_topk()),
+    "text_lang_id": (q_text_lang_id, _SQL_LANG),
+    "text_quality": (q_text_quality, _SQL_QUALITY),
+    "text_token_counts": (q_text_token_counts, _SQL_TOKENS),
+    "text_fingerprint": (q_text_fingerprint, _SQL_FINGERPRINT),
+    "mm_binary_meta": (q_mm_binary_meta, _SQL_MM_META),
+    "mm_decode_stub": (q_mm_decode_stub, _SQL_MM_DECODE),
+    "events_hourly": (q_events_hourly, _SQL_EVENTS),
+    "agg_pricing_summary": (q_agg_pricing_summary, _SQL_PRICING),
 }

@@ -1,0 +1,95 @@
+"""Text analysis for training-data pipelines: language-ID heuristic,
+quality scoring, token counting, document fingerprinting. All pure Column
+expressions (split/filter/aggregate/regexp) — codegen'd, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ganda_spark.operators.dedup import md5_int
+
+# tiny per-language stopword tables for the n-gram-free heuristic
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "las", "y", "es"),
+}
+
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"  # BPE-ish pre-tokenizer split
+FINGERPRINT_MOD = 1_000_000_007
+
+
+def _hits(words_sql: str, stopset: tuple[str, ...]) -> str:
+    quoted = ", ".join(f"'{w}'" for w in stopset)
+    return f"size(filter({words_sql}, w -> w IN ({quoted})))"
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language guess; 'und' when no language scores > 0.
+    Ties break by language name order (deterministic)."""
+    out = df.withColumn("_w", F.split(F.col(text_col), " "))
+    for lang, stops in STOPWORDS.items():
+        out = out.withColumn(f"_hits_{lang}", F.expr(_hits("_w", stops)))
+    best = F.greatest(*[F.col(f"_hits_{lang}") for lang in STOPWORDS])
+    guess = F.lit("und")
+    for lang in sorted(STOPWORDS, reverse=True):
+        guess = F.when(
+            (F.col(f"_hits_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(guess)
+    return out.withColumn("lang_guess", guess).drop(
+        "_w", *[f"_hits_{lang}" for lang in STOPWORDS]
+    )
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / word-length / stopword-ratio quality facets + a composite
+    keep-score. Ratios are integer BASIS POINTS (×10⁴, floor) — float
+    round() is rounding-mode trapdoor territory across engines (Spark
+    HALF_UPs the decimal rendering, C-family rounds the binary double), so
+    scores stay in exact integer arithmetic end-to-end."""
+    words = F.split(F.col(text_col), " ")
+    n_words = F.size(words).cast("long")
+    n_chars = F.length(F.col(text_col)).cast("long")
+    avg_word_len_bp = F.floor(
+        (n_chars - (n_words - 1)) * 10_000 / n_words
+    ).cast("long")
+    en_hits = F.expr(_hits(f"split({text_col}, ' ')", STOPWORDS["en"])).cast("long")
+    stopword_bp = F.floor(en_hits * 10_000 / n_words).cast("long")
+    score_bp = (
+        F.floor(F.least(n_words * 100, F.lit(10_000)) / 2)
+        + F.floor(F.least(stopword_bp * 5, F.lit(10_000)) / 2)
+    ).cast("long")
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("n_chars_calc", n_chars)
+        .withColumn("avg_word_len_bp", avg_word_len_bp)
+        .withColumn("stopword_bp", stopword_bp)
+        .withColumn("quality_score_bp", score_bp)
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    ws = F.size(F.split(F.col(text_col), " "))
+    re_tokens = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), 0)
+    )
+    return df.withColumn("n_ws_tokens", ws.cast("long")).withColumn(
+        "n_re_tokens", re_tokens.cast("long")
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-dependent rolling fingerprint: Σ_k h32(word_k)·(((k-1)%31)+1)
+    mod p — position-sensitive (a permuted document fingerprints
+    differently), md5-derived so external oracles reproduce it."""
+    h32 = "CAST(conv(substr(md5(w), 1, 8), 16, 10) AS BIGINT)"
+    expr = (
+        f"aggregate(zip_with(split({text_col}, ' '), "
+        f"sequence(1, size(split({text_col}, ' '))), (w, k) -> "
+        f"{h32} * (((k - 1) % 31) + 1)), 0L, (acc, x) -> acc + x) "
+        f"% {FINGERPRINT_MOD}"
+    )
+    return df.withColumn("fingerprint", F.expr(expr))

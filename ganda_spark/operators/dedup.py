@@ -1,0 +1,173 @@
+"""Document deduplication for training-data pipelines — exact, MinHash+LSH,
+SimHash, n-gram Jaccard. (North-rule addition; the reference's only dedup
+stance is "uniqueness is the upstream pipe's job", README.md:28-30.)
+
+Scale posture (100 TB corpus):
+  * Shingling/minhashing are per-row array expressions — NO explode, no
+    shuffle, whole-stage codegen; a signature is k BIGINTs per doc.
+  * The only shuffle is the LSH band group-join: keyed on (band, band_hash),
+    candidate pairs are generated inside buckets — |bucket|² stays tiny when
+    bands/rows are tuned (and AQE skew-split covers degenerate buckets).
+  * Exact verify (Jaccard) runs only on candidates — the classic
+    MinHash-LSH contract: no all-pairs pass anywhere.
+
+Hashes are md5-derived (hex→int) so external oracles (DuckDB) reproduce
+them bit-for-bit; swap xxhash64 in for production speed if oracle parity
+stops mattering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MD5_HEX_CHARS = 12  # 48-bit hash values — sums of thousands still fit BIGINT
+
+
+def md5_int(col_sql: str, prefix: str = "") -> str:
+    """SQL fragment (Spark dialect): 48-bit int from md5."""
+    inner = f"concat('{prefix}', {col_sql})" if prefix else col_sql
+    return f"CAST(conv(substr(md5({inner}), 1, {MD5_HEX_CHARS}), 16, 10) AS BIGINT)"
+
+
+def words_col(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def shingles_expr(words_sql: str = "words", n: int = 3) -> str:
+    """Word n-gram shingles as a Spark SQL array expression (0-based
+    element access; empty when the doc is shorter than n)."""
+    parts = " , ' ', ".join([f"{words_sql}[i + {j}]" for j in range(n)])
+    return (
+        f"CASE WHEN size({words_sql}) >= {n} THEN "
+        f"transform(sequence(0, size({words_sql}) - {n}), "
+        f"i -> concat({parts})) ELSE array() END"
+    )
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    return df.withColumn("words", words_col(F.col(text_col))).withColumn(
+        "shingles", F.expr(shingles_expr("words", n))
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: one shuffle on the 128-bit content hash.
+    Returns (text_hash, n_docs, keep_id) — keeper = min id."""
+    return (
+        df.select(F.md5(F.col(text_col).cast("binary")).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(df: DataFrame, k: int = 8, shingle_col: str = "shingles") -> DataFrame:
+    """k min-hashes per doc, zero shuffles: array_min over a salted md5
+    transform of the shingle array."""
+    out = df
+    for s in range(k):
+        out = out.withColumn(
+            f"sig_{s}",
+            F.expr(
+                f"array_min(transform({shingle_col}, "
+                f"sh -> {md5_int('sh', prefix=f'{s}:')}))"
+            ),
+        )
+    return out
+
+
+def lsh_band_hashes(sigs: DataFrame, k: int = 8, rows_per_band: int = 2) -> DataFrame:
+    """Band hash = md5 of the concatenated signature slice. Docs sharing a
+    band hash are candidate duplicates."""
+    n_bands = k // rows_per_band
+    out = sigs
+    for b in range(n_bands):
+        cols = [f"sig_{b * rows_per_band + r}" for r in range(rows_per_band)]
+        concat = F.concat_ws("_", *[F.col(c).cast("string") for c in cols])
+        out = out.withColumn(f"band_{b}", F.md5(concat.cast("binary")))
+    return out
+
+
+def lsh_candidate_pairs(
+    banded: DataFrame, id_col: str = "doc_id", k: int = 8, rows_per_band: int = 2
+) -> DataFrame:
+    """Self-join inside band buckets → distinct (id_a < id_b) pairs. The
+    join key (band index, band hash) is the ONLY shuffle; bucket sizes are
+    the skew knob (AQE skew-join splits hot buckets)."""
+    n_bands = k // rows_per_band
+    per_band = []
+    for b in range(n_bands):
+        x = banded.select(
+            F.lit(b).alias("band"), F.col(f"band_{b}").alias("bh"), F.col(id_col)
+        )
+        per_band.append(x)
+    all_bands = per_band[0]
+    for x in per_band[1:]:
+        all_bands = all_bands.unionByName(x)
+    a = all_bands.alias("a")
+    bb = all_bands.alias("b")
+    pairs = (
+        a.join(bb, ["band", "bh"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_verify(
+    pairs: DataFrame, docs_with_shingles: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs only (the verify stage)."""
+    sh = docs_with_shingles.select(
+        F.col(id_col), F.array_distinct("shingles").alias("sh")
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return j.select(
+        "id_a",
+        "id_b",
+        F.round(inter / union, 4).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, bits: int = 16, words_sql: str = "words") -> DataFrame:
+    """bits-wide SimHash over the word multiset: per bit, the sign of
+    Σ ±1 across token hashes. Pure array expressions — no explode."""
+    h = md5_int("w")
+    bit_sums = [
+        F.expr(
+            f"aggregate({words_sql}, 0L, "
+            f"(acc, w) -> acc + CASE WHEN ({h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END)"
+        )
+        for b in range(bits)
+    ]
+    sim = None
+    for b, s in enumerate(bit_sums):
+        term = F.when(s >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return df.withColumn("simhash", sim.cast("long"))
