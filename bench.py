@@ -1,0 +1,200 @@
+"""Benchmark harness.
+
+Default mode (what the round driver runs): executes the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "throughput": {...}}
+
+Scaling mode (`python bench.py --scaling`): runs the fetch pipeline in two
+fresh subprocesses at N=8 and 4N=32 cores on the SAME input and reports
+throughput at both plus efficiency = (T_N / T_4N) / 4 — the sandbox
+evidence for the north rule's N→4N ≥ 0.8 criterion (BASELINE.md).
+
+Every query materializes through the noop sink so all columns compute
+(count() alone would let Catalyst prune the work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _materialize(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return -1
+
+
+def _bench_queries(spark, sf_dir: str) -> tuple[dict, dict]:
+    """Returns ({query: seconds}, {name: rows_or_rate}). Headline set:
+    the full crawl pipeline (UDF fetch path), the dedup stages, the
+    scheduler pop, and the heaviest training-data ops."""
+    import __spark_entry__ as entry
+
+    from pyspark.sql import functions as F
+    from ganda_spark.config import EngineConfig
+    from ganda_spark.operators.fetch import mock_fetch_udf
+    from ganda_spark.operators.seen import filter_unseen_exact
+    from ganda_spark.sources.frontier import seed_frontier
+
+    timings: dict[str, float] = {}
+    stats: dict[str, float] = {}
+
+    frontier = seed_frontier(spark, sf_dir).cache()
+    n_frontier = frontier.count()
+    stats["frontier_rows"] = n_frontier
+
+    # 1. fetch pipeline (the sustained fetched-URLs/sec metric)
+    cfg = EngineConfig(retries=1, request_workers=CPUS * 2)
+    t0 = time.time()
+    fetched = mock_fetch_udf(frontier, cfg).where(F.col("fetch_error").isNull())
+    _materialize(fetched)
+    timings["fetch_pipeline"] = round(time.time() - t0, 3)
+    stats["fetched_urls_per_sec"] = round(n_frontier / timings["fetch_pipeline"])
+
+    # 2. frontier dedup (anti-join seen)
+    seen = frontier.where(F.col("seq") % 3 == 0).select("url")
+    t0 = time.time()
+    _materialize(filter_unseen_exact(frontier, seen))
+    timings["dedup_antijoin"] = round(time.time() - t0, 3)
+    stats["dedup_rows_per_sec"] = round(n_frontier / timings["dedup_antijoin"])
+
+    # 3. the rest of the headline set via the driver-contract queries
+    for name in (
+        "k1_crawl_pipeline",
+        "f9_priority_pop",
+        "f10_bloom_filter",
+        "t6_envelope",
+        "s10_span_extract",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "sim_topk_brute",
+        "sim_ann_topk",
+        "text_fingerprint",
+        "mm_decode_stub",
+    ):
+        fn = entry.queries()[name]
+        t0 = time.time()
+        _materialize(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    frontier.unpersist()
+    return timings, stats
+
+
+def run_single(cores: int, sf_dir: str) -> dict:
+    from ganda_spark.session import get_spark
+
+    spark = get_spark("ganda-bench", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    timings, stats = _bench_queries(spark, sf_dir)
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "ganda-spark headline suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "cores": cores,
+        "throughput": stats,
+    }
+
+
+# --- scaling mode -----------------------------------------------------------
+
+_CHILD_CODE = """
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from ganda_spark.session import get_spark
+from ganda_spark.config import EngineConfig
+from ganda_spark.operators.fetch import mock_fetch_udf
+from ganda_spark.operators.seen import filter_unseen_exact
+from ganda_spark.sources.frontier import seed_frontier
+from pyspark.sql import functions as F
+cores = int(sys.argv[1]); sf = sys.argv[2]
+mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "100"))
+spark = get_spark("scaling-%d" % cores, cores=cores)
+spark.sparkContext.setLogLevel("ERROR")
+# blow the frontier up so per-core compute dominates scheduler overhead —
+# the sandbox stand-in for the 10^10-row cluster workload
+base = seed_frontier(spark, sf)
+frontier = (
+    base.withColumn("rep", F.explode(F.sequence(F.lit(1), F.lit(mult))))
+    .select(
+        (F.col("seq") * mult + F.col("rep")).alias("seq"),
+        F.concat(F.col("url"), F.lit("?rep="), F.col("rep")).alias("url"),
+        "host", "priority", "context",
+    )
+    .repartition(cores)  # one wave of uniform tasks; pipeline uses partition_for_fetch
+    .cache()
+)
+n = frontier.count()
+# ganda parity: the reference throughput bench is `-W 50 -s -B discard`
+# (Justfile:54-73) — fetch + status accounting, bodies closed unread
+cpu_work = int(os.environ.get("SPARK_GRAFT_FETCH_CPU_WORK", "40"))
+cfg = EngineConfig(retries=1, request_workers=cores, response_body="discard",
+                   fetch_cpu_work=cpu_work)
+# warmup at FULL partition width: spins up every python worker once —
+# sustained throughput is the metric; worker startup amortizes to zero on
+# a long-running crawl (workers are reused across generations)
+mock_fetch_udf(frontier, cfg).write.format("noop").mode("overwrite").save()
+def once(fn):
+    best = 1e18
+    for _ in range(4):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return best
+t_fetch = once(lambda: mock_fetch_udf(frontier, cfg)
+    .where(F.col("fetch_error").isNull())
+    .write.format("noop").mode("overwrite").save())
+seen = frontier.where(F.col("seq") % 3 == 0).select("url")
+t_dedup = once(lambda: filter_unseen_exact(frontier, seen)
+    .write.format("noop").mode("overwrite").save())
+print("RESULT " + json.dumps({{"cores": cores, "sec": t_fetch + t_dedup, "rows": n,
+                               "fetch_sec": t_fetch, "dedup_sec": t_dedup,
+                               "fetch_rows_per_sec": n / t_fetch,
+                               "dedup_rows_per_sec": n / t_dedup,
+                               "rows_per_sec": n / (t_fetch + t_dedup)}}))
+"""
+
+
+def run_scaling(sf_dir: str, n_cores: int = 8, n4_cores: int = 32) -> dict:
+    repo = os.path.dirname(os.path.abspath(__file__))
+    out = {}
+    for cores in (n_cores, n4_cores):
+        env = dict(os.environ)
+        code = _CHILD_CODE.format(repo=repo)
+        res = subprocess.run(
+            [sys.executable, "-c", code, str(cores), sf_dir],
+            capture_output=True, text=True, env=env, timeout=1200,
+        )
+        line = [l for l in res.stdout.splitlines() if l.startswith("RESULT ")]
+        if not line:
+            raise RuntimeError(f"scaling child ({cores} cores) failed:\n{res.stderr[-2000:]}")
+        out[cores] = json.loads(line[-1][len("RESULT "):])
+    eff = (out[n_cores]["sec"] / out[n4_cores]["sec"]) / (n4_cores / n_cores)
+    return {
+        "metric": "throughput scaling efficiency N -> 4N (local[8] vs local[32])",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "n": out[n_cores],
+        "n4": out[n4_cores],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(SF_DIR)))
+    else:
+        print(json.dumps(run_single(CPUS, SF_DIR)))

@@ -43,17 +43,6 @@ from pyspark.sql import functions as F
 from ganda_spark import spec
 from ganda_spark.config import EngineConfig
 
-FETCH_RESULT_FIELDS = (
-    "status INT, body STRING, attempts INT, fetch_error STRING, "
-    "latency_ms BIGINT"
-)
-
-
-def _out_schema(df: DataFrame) -> str:
-    base = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
-    return base + ", " + FETCH_RESULT_FIELDS
-
-
 # ---------------------------------------------------------------------------
 # Column-expression implementation (oracle-matched fast path)
 # ---------------------------------------------------------------------------
@@ -107,14 +96,14 @@ class MockSession:
 
     @staticmethod
     def _draws(urls: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-        d = np.empty(len(urls), dtype=np.int64)
-        lat = np.empty(len(urls), dtype=np.int64)
-        for i, u in enumerate(urls):
-            h = hashlib.md5(u.encode()).hexdigest()
-            d[i] = int(h[:4], 16) % 100
-            lat[i] = 1 + int(
-                h[spec.LATENCY_HEX_OFFSET - 1 : spec.LATENCY_HEX_OFFSET + 2], 16
-            ) % spec.LATENCY_MOD
+        """One md5 per url, then fully vectorized byte extraction:
+        d   = first 4 hex chars (= bytes 0-1) % 100
+        lat = 1 + hex chars 5-7 (= byte 2 + high nibble of byte 3) % 200
+        """
+        blob = b"".join(hashlib.md5(u.encode()).digest() for u in urls.to_list())
+        m = np.frombuffer(blob, dtype=np.uint8).reshape(-1, 16).astype(np.int64)
+        d = ((m[:, 0] << 8) | m[:, 1]) % 100
+        lat = 1 + (((m[:, 2] << 4) | (m[:, 3] >> 4)) % spec.LATENCY_MOD)
         return d, lat
 
     def fetch_batch(self, urls: pd.Series, hosts: pd.Series) -> pd.DataFrame:
@@ -128,6 +117,12 @@ class MockSession:
         cfg = self.cfg
         d, lat = self._draws(urls)
         n = len(urls)
+        if cfg.fetch_cpu_work > 0:
+            # simulate the per-request CPU of a real HTTP transaction
+            # (TLS, header parse): k extra hash rounds per url
+            scratch = [hashlib.md5(u.encode()).digest() for u in urls.to_list()]
+            for _ in range(cfg.fetch_cpu_work):
+                scratch = [hashlib.md5(x).digest() for x in scratch]
 
         status = np.where(
             d < spec.PCT_OK, 200, np.where(d < spec.PCT_NOT_FOUND, 404, 500)
@@ -158,14 +153,21 @@ class MockSession:
         error[exhausted] = (
             f"maximum number of retries ({cfg.retries}) reached for request"
         )
-        body = pd.Series([""] * n, dtype=object)
-        ok = status == 200
-        if ok.any():
-            method = cfg.request_method
-            body[ok] = [
-                spec.echo_body_py(u, h, method)
-                for u, h in zip(urls[ok], hosts[ok])
-            ]
+        if cfg.response_body == "discard":
+            # ganda's own throughput bench runs -B discard (Justfile:54-73):
+            # the body is closed unread (responses.go:297-300) — skip
+            # assembling it at all
+            body = pd.Series([""] * n, dtype=object)
+        else:
+            # vectorized echo-body assembly (pandas str kernels, no per-row
+            # Python): uri = path+query (Go RequestURI); body shape =
+            # echoserver JSON
+            urls = urls.reset_index(drop=True)
+            hosts = hosts.reset_index(drop=True)
+            uri = urls.str.replace(r"^https?://[^/]+", "", regex=True)
+            p2 = spec.ECHO_P2_FMT.format(method=cfg.request_method)
+            body = spec.ECHO_P1 + hosts + p2 + uri + spec.ECHO_P3
+            body = body.where(pd.Series(status == 200), "")
         return pd.DataFrame(
             {
                 "status": status.astype("int32"),
@@ -177,23 +179,47 @@ class MockSession:
         )
 
 
-def mock_fetch_udf(frontier: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """F1: repartition to the worker count, then mapInPandas with a
-    per-partition MockSession. Output schema = input + fetch columns,
-    identical to mock_fetch_plan."""
-    out_schema = _out_schema(frontier)
-    in_cols = [f.name for f in frontier.schema]
+def mock_fetch_udf(
+    frontier: DataFrame, cfg: EngineConfig, repartition: bool = False
+) -> DataFrame:
+    """F1: iterator-style pandas_udf with a per-task MockSession (the
+    per-goroutine pooled client, requests/requests.go:66). Output schema =
+    input + fetch columns, identical to mock_fetch_plan.
 
-    def fetch_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    Design notes (scale):
+      * SCALAR_ITER pandas_udf, not mapInPandas — ONLY url+host cross the
+        Arrow boundary; passthrough columns (context arrays, seq, ...)
+        never leave the JVM. At 10^10 rows that is the difference between
+        shipping 2 string columns and shipping the whole frontier.
+      * No forced shuffle: the caller controls placement
+        (partition_for_fetch keeps hosts task-contiguous). Pass
+        repartition=True only for a standalone fetch whose input
+        partitioning is too coarse.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    result_schema = (
+        "struct<status:int,body:string,attempts:int,"
+        "fetch_error:string,latency_ms:bigint>"
+    )
+
+    @pandas_udf(result_schema)
+    def fetch(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.DataFrame]:
         session = MockSession(cfg)  # once per task == per-goroutine client
-        for pdf in batches:
-            res = session.fetch_batch(pdf["url"], pdf["host"])
-            yield pd.concat(
-                [pdf[in_cols].reset_index(drop=True), res], axis=1
-            )
+        for urls, hosts in it:
+            yield session.fetch_batch(urls, hosts)
 
-    parts = max(1, cfg.request_workers)
-    return frontier.repartition(parts).mapInPandas(fetch_partition, out_schema)
+    # A fetch is NOT a pure function (network). Also load-bearing for cost:
+    # a deterministic UDF gets re-evaluated when a filter on its result is
+    # pushed below the projection — the plan grows TWO ArrowEvalPython
+    # fetch nodes and every results/errors split fetches twice.
+    fetch = fetch.asNondeterministic()
+
+    src = frontier
+    if repartition:
+        src = src.repartition(max(1, cfg.request_workers))
+    fetched = src.withColumn("_r", fetch(F.col("url"), F.col("host")))
+    return fetched.select(*[f.name for f in frontier.schema], "_r.*")
 
 
 def split_results(fetched: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -43,13 +43,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow for every pandas UDF / mapInPandas boundary (no per-row Python).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
         # Per-line headers override static -H headers (last wins):
         # reference: parser/parser.go:145-165, parser/parser_test.go:213-236.
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         # 128 MB split targets — sane parquet scan granularity at 100 TB.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM runs every task — size the heap for
+        # cores×concurrent shuffle buffers or GC eats the scaling curve
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()

@@ -127,7 +127,9 @@ ECHO_P3 = (
 
 
 def echo_body_py(url: str, host: str, method: str = "GET") -> str:
-    """Pure-Python echo body (used inside the fetch UDF and tests)."""
+    """Pure-Python echo body (used inside the fetch UDF and tests).
+    The uri is everything after the authority (path + query), matching
+    Go's Request.RequestURI echoed by the reference echoserver."""
     path = url.split(host, 1)[1] if host in url else "/"
     return ECHO_P1 + host + ECHO_P2_FMT.format(method=method) + path + ECHO_P3
 
@@ -144,10 +146,11 @@ def echo_body_sql(
 ) -> str:
     """The deterministic echo-JSON body as a concat both engines compute
     identically."""
+    # uri = path + query (Go RequestURI semantics), identical both dialects
     if dialect == "spark":
-        path = f"parse_url({url_expr}, 'PATH')"
+        path = f"regexp_replace({url_expr}, '^https?://[^/]+', '')"
     else:
-        path = f"regexp_extract({url_expr}, 'https?://[^/]+(/.*)$', 1)"
+        path = f"regexp_replace({url_expr}, '^https?://[^/]+', '')"
     return (
         "concat("
         + _sql_quote(ECHO_P1) + f", {host_expr}, "
