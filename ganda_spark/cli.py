@@ -1,0 +1,167 @@
+"""`python -m ganda_spark` — the reference's CLI surface on the Spark
+engine. Flags mirror cli/cli.go:52-156; a ganda user can pipe the same
+stdin and read the same stdout/stderr:
+
+    seq 5 | awk '{print "http://localhost:8080/echo/" $1}' \\
+      | python -m ganda_spark -W 8 -B sha256 -J
+
+Subcommand `echoserver` mirrors the reference fixture (cli/cli.go:157-206).
+
+The fetch stage is the real pooled-HTTP pandas UDF (operators/http_fetch);
+`--mock-fetch` swaps in the deterministic md5 mock for offline runs.
+Throttle (-T) is enforced as per-second release waves — the driver-loop
+re-expression of the reference's global ticker (cli/cli.go:244-250): the
+count per window matches, not the tick phase (SURVEY.md §2.2 F5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from ganda_spark.config import EngineConfig, parse_header
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="ganda-spark",
+        description="pipe-to-fetch at Spark scale (ganda-compatible surface)",
+    )
+    p.add_argument("request_file", nargs="?", help="file of URLs/JSON lines (default: stdin)")
+    p.add_argument("-W", "--workers", type=int, default=1, help="fetch parallelism")
+    p.add_argument("-B", "--response-body", default="raw",
+                   choices=["raw", "base64", "discard", "escaped", "sha256"])
+    p.add_argument("-J", "--json-envelope", action="store_true")
+    p.add_argument("-H", "--header", action="append", default=[],
+                   help="'Key: value' static request header (repeatable)")
+    p.add_argument("-X", "--request", default="GET", help="HTTP method")
+    p.add_argument("-r", "--retries", type=int, default=0)
+    p.add_argument("--base-retry-millis", type=int, default=1000)
+    p.add_argument("-t", "--connect-timeout-millis", type=int, default=10000)
+    p.add_argument("-T", "--throttle-per-second", type=int, default=None)
+    p.add_argument("-o", "--output-directory", default=None)
+    p.add_argument("-S", "--subdir-length", type=int, default=0)
+    p.add_argument("-s", "--silent", action="store_true")
+    p.add_argument("--color", action="store_true")
+    p.add_argument("-k", "--insecure", action="store_true")
+    p.add_argument("--mock-fetch", action="store_true",
+                   help="deterministic offline fetch (no network)")
+    p.add_argument("--cores", type=int, default=None, help="local[N] cores")
+
+    sub = p.add_subparsers(dest="subcommand")
+    echo = sub.add_parser("echoserver", help="JSON echo server (test fixture)")
+    echo.add_argument("-p", "--port", type=int, default=8080)
+    echo.add_argument("-d", "--delay-millis", type=int, default=0)
+    echo.add_argument("-s", "--silent", action="store_true")
+    return p
+
+
+def run_echoserver(args) -> int:
+    from ganda_spark.echoserver import Echoserver
+
+    with Echoserver(port=args.port, delay_millis=args.delay_millis,
+                    silent=args.silent) as srv:
+        print(f"echoserver listening on :{srv.port}", file=sys.stderr)
+        try:
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            return 0
+
+
+def _config_from(args) -> EngineConfig:
+    headers = dict(parse_header(h) for h in args.header)
+    return EngineConfig(
+        request_method=args.request,
+        request_headers=headers,
+        request_workers=args.workers,
+        response_body=args.response_body,
+        json_envelope=args.json_envelope,
+        retries=args.retries,
+        base_retry_delay_millis=args.base_retry_millis,
+        connect_timeout_millis=args.connect_timeout_millis,
+        throttle_per_second=args.throttle_per_second,
+        subdir_length=args.subdir_length,
+        insecure=args.insecure,
+        silent=args.silent,
+        color=args.color,
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.subcommand == "echoserver":
+        return run_echoserver(args)
+
+    cfg = _config_from(args)
+
+    from ganda_spark.operators.fetch import mock_fetch_udf
+    from ganda_spark.operators.http_fetch import http_fetch_udf
+    from ganda_spark.session import get_spark
+    from ganda_spark.sinks import emit_status_log, emit_stdout, write_files
+    from ganda_spark.sources.json_lines import parse_json_lines, sniff_is_json_lines
+    from ganda_spark.sources.url_lines import parse_url_lines
+    from ganda_spark.functions.urls import url_host
+
+    spark = get_spark("ganda-spark-cli", cores=args.cores or max(args.workers, 2))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # S1/S2: stdin or file (execcontext/execcontext.go:66-69)
+    if args.request_file:
+        lines = spark.read.text(args.request_file)
+    else:
+        raw = [(line.rstrip("\n"),) for line in sys.stdin if line.strip()]
+        if not raw:  # P2: empty input ⇒ clean no-op (parser/parser.go:38-40)
+            spark.stop()
+            return 0
+        lines = spark.createDataFrame(raw, "value string")
+
+    # S3: input-type sniff (parser/parser.go:194-207)
+    if sniff_is_json_lines(lines):
+        reqs = parse_json_lines(lines, cfg)
+    else:
+        reqs = parse_url_lines(spark, lines)
+    reqs = reqs.withColumn("host", url_host(F.col("url")))
+
+    fetcher = mock_fetch_udf if args.mock_fetch else http_fetch_udf
+    parts = max(1, cfg.request_workers)
+
+    def fetch_and_emit(batch_df) -> None:
+        fetched = fetcher(batch_df.repartition(parts), cfg)
+        ok = fetched.where(F.col("fetch_error").isNull()).cache()
+        errs = fetched.where(F.col("fetch_error").isNotNull())
+        if args.output_directory:
+            write_files(ok, cfg, args.output_directory)
+            emit_status_log(ok, cfg)
+        else:
+            emit_stdout(ok, cfg)
+            emit_status_log(fetched, cfg)
+        ok.unpersist()
+
+    if cfg.throttle_per_second:
+        # F5: release waves — ≤ throttle rows enter the fetch per second
+        from pyspark.sql import Window
+
+        rn = F.row_number().over(Window.orderBy("seq"))
+        reqs = reqs.withColumn(
+            "_wave", F.floor((rn - 1) / cfg.throttle_per_second).cast("int")
+        )
+        waves = [r[0] for r in reqs.select("_wave").distinct().orderBy("_wave").collect()]
+        for w in waves:
+            t0 = time.time()
+            fetch_and_emit(reqs.where(F.col("_wave") == w).drop("_wave"))
+            elapsed = time.time() - t0
+            if w != waves[-1] and elapsed < 1.0:
+                time.sleep(1.0 - elapsed)
+    else:
+        fetch_and_emit(reqs)
+
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,109 @@
+"""Real-HTTP integration: pooled-session fetch UDF against the local
+echoserver — the Spark analog of the reference's own e2e
+(cli/cli_echoserver_test.go:49-74). Behavior pinned to cli/cli_test.go:
+retry-on-5xx (:51-74), retry exhaustion (:76-96), no-retry-4xx (:98-115).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+import pytest
+
+from ganda_spark.config import EngineConfig
+from ganda_spark.echoserver import Echoserver
+from ganda_spark.operators.http_fetch import HttpSession, http_fetch_udf
+
+
+@pytest.fixture(scope="module")
+def echo():
+    with Echoserver() as srv:
+        yield srv
+
+
+def _frontier(spark, echo, paths):
+    return spark.createDataFrame(
+        [(i, echo.url_for(p), "127.0.0.1") for i, p in enumerate(paths)],
+        "seq long, url string, host string",
+    )
+
+
+def test_fetch_echo_roundtrip(spark, echo):
+    df = _frontier(spark, echo, [f"echo/{i}" for i in range(50)])
+    cfg = EngineConfig(retries=0, request_workers=4,
+                       request_headers={"x-ganda": "spark"})
+    out = http_fetch_udf(df, cfg).collect()
+    assert len(out) == 50
+    for row in out:
+        assert row["status"] == 200 and row["fetch_error"] is None
+        body = json.loads(row["body"])
+        # RequestEcho shape (echoserver/echoserver.go:18-29)
+        assert body["method"] == "GET"
+        assert body["uri"] == "/" + row["url"].split("/", 3)[3]
+        assert body["headers"]["X-Ganda"] == "spark"  # Go-canonical key
+        assert body["headers"]["Connection"] == "keep-alive"  # parser.go:216
+
+
+def test_4xx_not_retried(spark, echo):
+    df = _frontier(spark, echo, ["status/404"])
+    out = http_fetch_udf(df, EngineConfig(retries=3)).collect()[0]
+    # 4xx returns immediately, no retry (requests/requests.go:99-101)
+    assert out["status"] == 404 and out["attempts"] == 1 and out["fetch_error"] is None
+
+
+def test_5xx_retried_until_success(spark, echo):
+    # /flaky/2/... → two 500s then 200; retries=3 must land a 200 in 3 attempts
+    df = _frontier(spark, echo, ["flaky/2/a"])
+    cfg = EngineConfig(retries=3, base_retry_delay_millis=1)
+    out = http_fetch_udf(df, cfg).collect()[0]
+    assert out["status"] == 200 and out["attempts"] == 3 and out["fetch_error"] is None
+
+
+def test_retry_exhaustion_drops_row(spark, echo):
+    df = _frontier(spark, echo, ["status/500"])
+    cfg = EngineConfig(retries=2, base_retry_delay_millis=1)
+    out = http_fetch_udf(df, cfg).collect()[0]
+    assert out["status"] == 500
+    assert out["attempts"] == 3  # retries+1 requests (requests.go:113-115)
+    assert "maximum number of retries (2)" in out["fetch_error"]
+
+
+def test_connection_pooling_reuses_sockets(echo):
+    """One HttpSession fetching the same host keeps ONE connection
+    (the per-goroutine pooled transport, requests/requests.go:25-38)."""
+    cfg = EngineConfig(retries=0)
+    s = HttpSession(cfg)
+    try:
+        for i in range(10):
+            status, _, _, err, _ = s.fetch_one(echo.url_for(f"e/{i}"), "GET", {})
+            assert status == 200 and err is None
+        assert len(s._conns) == 1
+    finally:
+        s.close()
+
+
+def test_transport_error_is_retried_then_reported(spark):
+    # nothing listens on this port → connection refused every attempt
+    df = spark.createDataFrame(
+        [(0, "http://127.0.0.1:9/none", "127.0.0.1")],
+        "seq long, url string, host string",
+    )
+    cfg = EngineConfig(retries=1, base_retry_delay_millis=1, connect_timeout_millis=500)
+    out = http_fetch_udf(df, cfg).collect()[0]
+    assert out["fetch_error"] is not None and out["status"] == 0
+
+
+def test_per_line_method_and_body(spark, echo):
+    """POST with body through the real client (request construct S7)."""
+    cfg = EngineConfig(retries=0, request_method="POST")
+    s = HttpSession(cfg)
+    try:
+        status, body, _, err, _ = s.fetch_one(
+            echo.url_for("submit"), "POST", {"content-type": "text/plain"}, body="hi"
+        )
+        assert status == 200 and err is None
+        echo_body = json.loads(body)
+        assert echo_body["method"] == "POST" and echo_body["request_body"] == "hi"
+    finally:
+        s.close()
