@@ -643,6 +643,154 @@ def q_f10_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_unseen_bloom(frontier, bloom).select("url", "host")
 
 
+# ---------------------------------------------------------------------------
+# T9: URL canonicalization (seen-set identity)
+# ---------------------------------------------------------------------------
+
+
+def q_t9_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ganda_spark.functions.urls import canonicalize_url, url_hash_hex
+
+    frontier = seed_frontier(spark, sf_dir)
+    messy = (
+        F.when(F.col("seq") % 4 == 0,
+               F.concat(F.lit("HTTP://"), F.upper(F.col("host")), F.lit(":80"),
+                        F.parse_url(F.col("url"), F.lit("PATH")), F.lit("#frag")))
+        .when(F.col("seq") % 4 == 1,
+              F.concat(F.lit("https://"), F.col("host"), F.lit(":443"),
+                       F.parse_url(F.col("url"), F.lit("PATH"))))
+        .when(F.col("seq") % 4 == 2, F.concat(F.col("url"), F.lit("?")))
+        .otherwise(F.col("url"))
+    )
+    canon = canonicalize_url(messy)
+    return frontier.select(
+        "seq", messy.alias("url_in"), canon.alias("url_canon"),
+        url_hash_hex(canon).alias("seen_key"),
+    )
+
+
+_SQL_T9 = f"""
+WITH {_DUCK_FRONTIER},
+messy AS (
+  SELECT seq,
+    CASE WHEN seq % 4 = 0 THEN concat('HTTP://', upper(host), ':80',
+                                      regexp_replace(url, '^https?://[^/]+', ''), '#frag')
+         WHEN seq % 4 = 1 THEN concat('https://', host, ':443',
+                                      regexp_replace(url, '^https?://[^/]+', ''))
+         WHEN seq % 4 = 2 THEN concat(url, '?')
+         ELSE url END AS url_in
+  FROM frontier
+),
+steps AS (
+  SELECT seq, url_in,
+         regexp_replace(url_in, '#.*$', '') AS nofrag
+  FROM messy
+),
+parts AS (
+  SELECT seq, url_in,
+         lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                              '^([^/?]*)', 1)) AS hostport,
+         regexp_replace(regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                        '^[^/?]*', '') AS tail
+  FROM steps
+)
+SELECT seq, url_in,
+       concat(scheme, '://',
+              CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                   WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                   ELSE hostport END,
+              regexp_replace(tail, '\\?$', '')) AS url_canon,
+       sha256(concat(scheme, '://',
+              CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                   WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                   ELSE hostport END,
+              regexp_replace(tail, '\\?$', ''))) AS seen_key
+FROM parts
+"""
+
+
+# ---------------------------------------------------------------------------
+# F5: throttle release waves (global ticker → per-second wave schedule)
+# ---------------------------------------------------------------------------
+
+
+def q_f5_throttle_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    throttle = 500  # rows per second
+    frontier = seed_frontier(spark, sf_dir)
+    rn = F.row_number().over(Window.orderBy("seq"))
+    return frontier.select(
+        "url",
+        F.floor((rn - 1) / throttle).cast("long").alias("wave"),
+    ).groupBy("wave").agg(
+        F.count(F.lit(1)).alias("released"), F.min("url").alias("first_url")
+    )
+
+
+_SQL_F5 = f"""
+WITH {_DUCK_FRONTIER},
+w AS (
+  SELECT url, (row_number() OVER (ORDER BY seq) - 1) // 500 AS wave
+  FROM frontier
+)
+SELECT wave, count(*) AS released, min(url) AS first_url
+FROM w GROUP BY wave
+"""
+
+
+# ---------------------------------------------------------------------------
+# K2/K3: file-sink manifest + status-log lines
+# ---------------------------------------------------------------------------
+
+
+def q_k2_file_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fetched = mock_fetch_plan(seed_frontier(spark, sf_dir), EngineConfig(retries=1))
+    ok = fetched.where(F.col("fetch_error").isNull())
+    fname = sanitize_filename(F.col("url"))
+    return (
+        ok.select(shard_dir(fname, 2).alias("shard"))
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_files"))
+    )
+
+
+def _sql_k2() -> str:
+    o = spec.fetch_outcome_sql("duckdb", retries=1)
+    return f"""
+WITH {_DUCK_FRONTIER}
+SELECT substr(md5(regexp_replace(url, '[^A-Za-z0-9]+', '-', 'g')), 1, 2) AS shard,
+       count(*) AS n_files
+FROM frontier WHERE NOT {o['dropped']}
+GROUP BY 1
+"""
+
+
+def q_k3_status_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fetched = mock_fetch_plan(seed_frontier(spark, sf_dir), EngineConfig(retries=1))
+    line = F.when(
+        F.col("fetch_error").isNotNull(),
+        F.concat(F.col("url"), F.lit(" Error: "), F.col("fetch_error")),
+    ).otherwise(
+        F.concat(F.lit("Response: "), F.col("status").cast("string"), F.lit(" "), F.col("url"))
+    )
+    return fetched.select("seq", line.alias("log_line"))
+
+
+def _sql_k3() -> str:
+    o = spec.fetch_outcome_sql("duckdb", retries=1)
+    return f"""
+WITH {_DUCK_FRONTIER}
+SELECT seq,
+       CASE WHEN {o['dropped']}
+            THEN concat(url, ' Error: maximum number of retries (1) reached for request')
+            ELSE concat('Response: ', CAST({o['status_final']} AS VARCHAR), ' ', url)
+       END AS log_line
+FROM frontier
+"""
+
+
 # ===========================================================================
 # Training-data pipeline operators (north-rule additions, SURVEY.md §2.6)
 # ===========================================================================
@@ -770,9 +918,13 @@ SELECT doc_id, {sig_cols} FROM sh
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = with_shingles(_near_corpus(spark, sf_dir))
+    # Materialize shingles + band hashes ONCE: signatures are tiny relative
+    # to the corpus (k×8 bytes/doc), and without this the 4-band self-join
+    # re-derives them from the raw text 20× (plan audit: 20 FileScans → 2).
+    # At 100 TB this is a signatures table written once, joined many times.
+    docs = with_shingles(_near_corpus(spark, sf_dir)).persist()
     sigs = minhash_signatures(docs, k=8)
-    banded = lsh_band_hashes(sigs, k=8, rows_per_band=2)
+    banded = lsh_band_hashes(sigs, k=8, rows_per_band=2).persist()
     pairs = lsh_candidate_pairs(banded, k=8, rows_per_band=2)
     verified = jaccard_verify(pairs, docs)
     return verified.where(F.col("jaccard") >= 0.5)
@@ -1212,6 +1364,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "s10_span_extract": (q_s10_span_extract, _SQL_S10),
     "t10_span_assembly": (q_t10_span_assembly, _SQL_T10),
     "f10_bloom_filter": (q_f10_bloom_filter, None),
+    "t9_canonicalize": (q_t9_canonicalize, _SQL_T9),
+    "f5_throttle_waves": (q_f5_throttle_waves, _SQL_F5),
+    "k2_file_manifest": (q_k2_file_manifest, _sql_k2()),
+    "k3_status_lines": (q_k3_status_lines, _sql_k3()),
     # training-data pipeline ops
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_minhash_sig": (q_dedup_minhash_sig, _sql_minhash_sig()),

@@ -1,0 +1,117 @@
+"""Semantic behavior of the training-data ops: the oracle gate proves
+Spark↔DuckDB parity; these tests prove the algorithms DO the job —
+planted duplicates are found, ANN approximates brute force, simhash is
+distance-sensitive."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ganda_spark.operators.dedup import (
+    exact_dup_groups,
+    jaccard_verify,
+    lsh_band_hashes,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+    with_shingles,
+)
+from ganda_spark.operators.similarity import ann_topk, brute_force_topk, lsh_bucket
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+
+
+def test_exact_dedup_finds_planted_copies(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    copies = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 50000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(copies)
+    groups = exact_dup_groups(corpus)
+    dups = groups.where(F.col("n_docs") > 1)
+    assert dups.count() == copies.count()
+    # keeper is always the original (min id)
+    assert dups.where(F.col("keep_id") >= 50000).count() == 0
+
+
+def test_minhash_lsh_recall_on_near_dups(spark, sf_dir):
+    """Mutated copies (3 words dropped) must surface as candidate pairs
+    with jaccard >= 0.5 — the MinHash+LSH contract."""
+    docs = _docs(spark, sf_dir)
+    words = F.split("text", " ")
+    mutated = docs.where((F.col("doc_id") % 4 == 0) & (F.size(words) > 20)).select(
+        (F.col("doc_id") + 50000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(words, 1, F.size(words) - 3)).alias("text"),
+    )
+    n_planted = mutated.count()
+    corpus = with_shingles(docs.unionByName(mutated)).persist()
+    banded = lsh_band_hashes(minhash_signatures(corpus, k=8), k=8, rows_per_band=2)
+    pairs = lsh_candidate_pairs(banded, k=8, rows_per_band=2)
+    verified = jaccard_verify(pairs, corpus).where(F.col("jaccard") >= 0.5)
+    found_planted = verified.where(F.col("id_b") - F.col("id_a") == 50000).count()
+    # 4 bands × 2 rows: P(candidate) = 1-(1-j^2)^4; at j≈0.9 ⇒ ~0.99
+    assert found_planted >= n_planted * 0.9
+    corpus.unpersist()
+
+
+def test_simhash_close_for_near_dups_far_for_random(spark, sf_dir):
+    docs = _docs(spark, sf_dir).limit(100)
+    words = F.split("text", " ")
+    mutated = docs.select(
+        (F.col("doc_id") + 50000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(words, 1, F.greatest(F.size(words) - 2, F.lit(1)))).alias("text"),
+    )
+    sims = simhash(
+        docs.unionByName(mutated).withColumn("words", F.split("text", " ")), bits=16
+    ).select("doc_id", "simhash")
+    a = sims.where(F.col("doc_id") < 50000).alias("a")
+    b = sims.where(F.col("doc_id") >= 50000).alias("b")
+    paired = a.join(b, F.col("b.doc_id") - F.col("a.doc_id") == 50000).select(
+        F.bit_count(
+            F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+        ).alias("hamming")
+    )
+    avg_near = paired.agg(F.avg("hamming")).collect()[0][0]
+    rand = a.join(
+        b, F.col("b.doc_id") - F.col("a.doc_id") == 50017
+    ).select(
+        F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming")
+    )
+    avg_rand = rand.agg(F.avg("hamming")).collect()[0][0]
+    assert avg_near < avg_rand  # near-dups hash closer than random pairs
+    assert avg_near <= 2.0
+
+
+def test_ann_is_subset_quality_of_brute_force(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    q = emb.where(F.col("vec_id") < 20)
+    brute = brute_force_topk(emb, q, k=3)
+    ann = ann_topk(emb, q, k=3, n_planes=4, dim=dim)
+    # every ANN neighbor's cosine is <= the brute-force best for that query
+    best = brute.where(F.col("rank") == 1).select(
+        F.col("qid"), F.col("cos_r").alias("best_cos")
+    )
+    joined = ann.join(best, "qid")
+    assert joined.where(F.col("cos_r") > F.col("best_cos")).count() == 0
+    # and the bucket restriction actually prunes work
+    buckets = lsh_bucket(emb, n_planes=4, dim=dim)
+    sizes = buckets.groupBy("bucket").count()
+    assert sizes.count() > 1  # corpus split across buckets
+
+
+def test_planted_identical_vector_is_rank1(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    clone = emb.where(F.col("vec_id") == 0).select(
+        F.lit(99999).cast("long").alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(clone)
+    out = brute_force_topk(corpus, corpus.where(F.col("vec_id") == 0), k=1)
+    row = out.collect()[0]
+    assert row["nid"] == 99999 and row["cos_r"] == 1.0
