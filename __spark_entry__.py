@@ -631,6 +631,52 @@ SELECT concat('doc-', CAST(doc_id AS VARCHAR)), 'video', '',
 
 
 # ---------------------------------------------------------------------------
+# S10→F→T10: crawl the span corpus end-to-end (extract → fetch → account)
+# ---------------------------------------------------------------------------
+
+
+def q_span_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ganda_spark.functions.urls import url_host
+
+    docs = synth_span_docs(spark, sf_dir)
+    urls = extract_urls(docs).withColumn("host", url_host(F.col("url")))
+    fetched = mock_fetch_plan(urls, EngineConfig(retries=1))
+    return fetched.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).cast("long").alias("n_ok"),
+        F.sum(F.when(F.col("fetch_error").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+    )
+
+
+def _sql_span_crawl() -> str:
+    o = spec.fetch_outcome_sql("duckdb", retries=1)
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         concat('http://host-', CAST(doc_id % 37 AS VARCHAR), '.test/doc/',
+                CAST(doc_id AS VARCHAR)) AS link_url,
+         concat('http://img-', CAST(doc_id % 11 AS VARCHAR), '.test/i/',
+                CAST(doc_id AS VARCHAR), '.jpg') AS img_url,
+         concat('http://vid-0.test/v/', CAST(doc_id AS VARCHAR), '.mp4') AS vid_url
+  FROM documents
+),
+u AS (
+  SELECT concat('doc-', CAST(doc_id AS VARCHAR)) AS doc_id, link_url AS url FROM d
+  UNION ALL
+  SELECT concat('doc-', CAST(doc_id AS VARCHAR)), img_url FROM d
+  UNION ALL
+  SELECT concat('doc-', CAST(doc_id AS VARCHAR)), vid_url FROM d WHERE doc_id % 3 = 0
+)
+SELECT doc_id, count(*) AS n_urls,
+       sum(CASE WHEN {o['status_final']} = 200 THEN 1 ELSE 0 END) AS n_ok,
+       sum(CASE WHEN {o['dropped']} THEN 1 ELSE 0 END) AS n_dropped
+FROM u GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # bloom seen filter — probabilistic, no SQL equivalent (rows-only check);
 # exactness vs the anti-join oracle is pinned in tests/test_seen.py
 # ---------------------------------------------------------------------------
@@ -1365,6 +1411,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "t10_span_assembly": (q_t10_span_assembly, _SQL_T10),
     "f10_bloom_filter": (q_f10_bloom_filter, None),
     "t9_canonicalize": (q_t9_canonicalize, _SQL_T9),
+    "span_crawl": (q_span_crawl, _sql_span_crawl()),
     "f5_throttle_waves": (q_f5_throttle_waves, _SQL_F5),
     "k2_file_manifest": (q_k2_file_manifest, _sql_k2()),
     "k3_status_lines": (q_k3_status_lines, _sql_k3()),

@@ -1,0 +1,72 @@
+"""Structured Streaming front door — ganda's continuous pipe model as a
+stream: `readStream` on a directory of URL-line files (the unbounded
+stdin), crawl_generation inside `foreachBatch`, results appended per
+micro-batch with exactly-once file-source tracking.
+
+The reference is a single-pass bounded stream with channel backpressure
+(cli/cli.go:241-242); Structured Streaming's trigger + maxFilesPerTrigger
+is the unbounded version of the same backpressure. No event-time semantics
+are required (SURVEY.md §2.6: crawl order, not event time, is the
+contract) — watermark-like behavior lives in the frontier loop's
+`not_before` deferrals instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ganda_spark.config import EngineConfig
+from ganda_spark.functions.urls import url_host
+from ganda_spark.operators.fetch import mock_fetch_udf, split_results
+from ganda_spark.operators.http_fetch import http_fetch_udf
+from ganda_spark.sources.url_lines import parse_url_lines
+
+
+def start_streaming_crawl(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    cfg: EngineConfig,
+    mock: bool = True,
+    max_files_per_trigger: int = 10,
+):
+    """Returns the StreamingQuery. Each arriving URL file becomes a
+    micro-batch: parse → fetch → split → append results/errors parquet.
+    Exactly-once per input file via the checkpointed file source."""
+    lines = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(input_dir)
+    )
+
+    fetcher = mock_fetch_udf if mock else http_fetch_udf
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        reqs = parse_url_lines(batch_df.sparkSession, batch_df).withColumn(
+            "host", url_host(F.col("url"))
+        )
+        placed = reqs.repartition(max(1, cfg.request_workers))
+        results, errors = split_results(fetcher(placed, cfg))
+        (
+            results.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(os.path.join(output_dir, "results"))
+        )
+        (
+            errors.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(os.path.join(output_dir, "errors"))
+        )
+
+    return (
+        lines.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
