@@ -157,17 +157,19 @@ def jaccard_verify(
 
 def simhash(df: DataFrame, bits: int = 16, words_sql: str = "words") -> DataFrame:
     """bits-wide SimHash over the word multiset: per bit, the sign of
-    Σ ±1 across token hashes. Pure array expressions — no explode."""
-    h = md5_int("w")
-    bit_sums = [
-        F.expr(
-            f"aggregate({words_sql}, 0L, "
-            f"(acc, w) -> acc + CASE WHEN ({h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END)"
-        )
-        for b in range(bits)
-    ]
+    Σ ±1 across token hashes. ONE md5 per word: hash the token array once
+    (transform), then fold the per-bit sums over the hash array — naive
+    per-bit aggregates would inline the md5 into every bit expression
+    (projection collapse) and hash each word 16×."""
+    h_arr = f"transform({words_sql}, w -> {md5_int('w')})"
+    # bit b set ⟺ Σ±1 ≥ 0 ⟺ 2·count_set ≥ n_words. The hashed array is a
+    # named column so CollapseProject won't inline the (non-cheap) md5
+    # transform into all `bits` consumers.
+    hashed = df.withColumn("_hs", F.expr(h_arr))
+    n = F.size(F.col(words_sql))
     sim = None
-    for b, s in enumerate(bit_sums):
-        term = F.when(s >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+    for b in range(bits):
+        cnt = F.expr(f"aggregate(_hs, 0L, (acc, h) -> acc + ((h >> {b}) & 1))")
+        term = F.when(2 * cnt >= n, F.lit(1 << b)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
-    return df.withColumn("simhash", sim.cast("long"))
+    return hashed.withColumn("simhash", sim.cast("long")).drop("_hs")

@@ -46,21 +46,31 @@ def pop_batch(
     frontier: DataFrame,
     cfg: EngineConfig,
     global_budget: int | None = None,
+    host_budgets: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(released, deferred) for one crawl generation.
 
-    released = per host, the `per_host_budget` best rows by
-    (priority ASC, seq ASC) — ganda's FIFO generalized with priorities;
-    ties broken by seq so the pop order is deterministic at ANY parallelism
-    (SURVEY.md §7 risk 2).
+    released = per host, the budget-best rows by (priority ASC, seq ASC) —
+    ganda's FIFO generalized with priorities; ties broken by seq so the pop
+    order is deterministic at ANY parallelism (SURVEY.md §7 risk 2).
     deferred = everything else, carried to the next generation untouched.
+
+    host_budgets: optional (host, budget) overrides — e.g. derived from
+    robots crawl-delay (operators/robots.crawl_delay_budgets); broadcast
+    join, default = cfg.per_host_budget.
     """
     w = Window.partitionBy("host").orderBy(
         F.col("priority").asc(), F.col("seq").asc()
     )
     ranked = frontier.withColumn("_rk", F.row_number().over(w))
-    released = ranked.where(F.col("_rk") <= cfg.per_host_budget).drop("_rk")
-    deferred = ranked.where(F.col("_rk") > cfg.per_host_budget).drop("_rk")
+    if host_budgets is not None:
+        ranked = ranked.join(F.broadcast(host_budgets), "host", "left")
+        budget = F.coalesce(F.col("budget"), F.lit(cfg.per_host_budget))
+        released = ranked.where(F.col("_rk") <= budget).drop("_rk", "budget")
+        deferred = ranked.where(F.col("_rk") > budget).drop("_rk", "budget")
+    else:
+        released = ranked.where(F.col("_rk") <= cfg.per_host_budget).drop("_rk")
+        deferred = ranked.where(F.col("_rk") > cfg.per_host_budget).drop("_rk")
 
     if global_budget is not None:
         # F5: global release cap — deterministic: keep the globally best

@@ -1,0 +1,81 @@
+"""robots.txt parsing + crawl-delay budgets (F8 north-rule generalization).
+
+Parsing is a pure Catalyst fold — `aggregate()` over the file's lines with
+a struct accumulator tracking whether we're inside a `User-agent: *`
+section — so a 10^8-host robots corpus parses as a scan, no Python.
+
+Honored subset (the politeness-relevant core): `User-agent: *` sections'
+`Disallow:` prefixes and `Crawl-delay:` seconds. Non-star agent sections
+are ignored (we crawl as *), empty Disallow means allow-all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ROBOTS_SCHEMA = (
+    "struct<in_star:boolean, disallow:array<string>, delay_ms:bigint>"
+)
+
+_PARSE_FOLD = """
+aggregate(
+  split({txt}, '\\r?\\n'),
+  named_struct('in_star', false,
+               'disallow', CAST(array() AS ARRAY<STRING>),
+               'delay_ms', CAST(0 AS BIGINT)),
+  (acc, raw) -> CASE
+    WHEN lower(trim(raw)) RLIKE '^user-agent\\\\s*:' THEN
+      named_struct(
+        'in_star', trim(substring_index(raw, ':', -1)) = '*',
+        'disallow', acc.disallow,
+        'delay_ms', acc.delay_ms)
+    WHEN acc.in_star AND lower(trim(raw)) RLIKE '^disallow\\\\s*:'
+         AND length(trim(substring_index(raw, ':', -1))) > 0 THEN
+      named_struct(
+        'in_star', acc.in_star,
+        'disallow', array_append(acc.disallow, trim(substring_index(raw, ':', -1))),
+        'delay_ms', acc.delay_ms)
+    WHEN acc.in_star AND lower(trim(raw)) RLIKE '^crawl-delay\\\\s*:' THEN
+      named_struct(
+        'in_star', acc.in_star,
+        'disallow', acc.disallow,
+        'delay_ms', CAST(try_cast(trim(substring_index(raw, ':', -1)) AS DOUBLE)
+                         * 1000 AS BIGINT))
+    ELSE acc
+  END,
+  acc -> acc
+)
+"""
+
+
+def parse_robots_txt(
+    bodies: DataFrame, host_col: str = "host", txt_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, robots_txt) → (host, disallow_prefixes, crawl_delay_ms)."""
+    folded = F.expr(_PARSE_FOLD.format(txt=txt_col))
+    return bodies.select(
+        F.col(host_col).alias("host"),
+        folded.getField("disallow").alias("disallow_prefixes"),
+        F.coalesce(folded.getField("delay_ms"), F.lit(0)).alias("crawl_delay_ms"),
+    )
+
+
+def crawl_delay_budgets(
+    robots: DataFrame, window_ms: int, default_budget: int
+) -> DataFrame:
+    """(host, budget): how many requests a generation window allows per
+    host — floor(window / crawl_delay), capped by the default budget (the
+    reference transport's 50-conns/host ceiling, requests/requests.go:29)."""
+    return robots.select(
+        "host",
+        F.when(
+            F.col("crawl_delay_ms") > 0,
+            F.least(
+                F.floor(window_ms / F.col("crawl_delay_ms")), F.lit(default_budget)
+            ),
+        )
+        .otherwise(F.lit(default_budget))
+        .cast("int")
+        .alias("budget"),
+    )

@@ -92,9 +92,16 @@ class CrawlDriver:
         unseen = filter_unseen_exact(eligible, seen)
         if self.robots is not None:
             allowed, _blocked = robots_gate(unseen, self.robots)
+            # F7×F8: robots crawl-delay caps each host's per-generation pop
+            from ganda_spark.operators.robots import crawl_delay_budgets
+
+            budgets = crawl_delay_budgets(
+                self.robots, window_ms=1000, default_budget=cfg.per_host_budget
+            )
         else:
             allowed = unseen
-        released, deferred = pop_batch(allowed, cfg)
+            budgets = None
+        released, deferred = pop_batch(allowed, cfg, host_budgets=budgets)
 
         obs = Observation(f"gen{gen}")
         placed = partition_for_fetch(released, cfg).observe(

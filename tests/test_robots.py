@@ -1,0 +1,69 @@
+"""robots.txt parsing fold + crawl-delay budgets."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ganda_spark.config import EngineConfig
+from ganda_spark.operators.politeness import pop_batch
+from ganda_spark.operators.robots import crawl_delay_budgets, parse_robots_txt
+from ganda_spark.sources.frontier import seed_frontier
+
+ROBOTS_A = """User-agent: googlebot
+Disallow: /only-google
+
+User-agent: *
+Disallow: /private
+Disallow: /tmp/
+Crawl-delay: 2
+"""
+
+ROBOTS_B = """User-agent: *
+Disallow:
+"""
+
+ROBOTS_C = "User-agent: *\r\nDisallow: /a\r\nCrawl-delay: 0.5\r\n"
+
+
+def _parse(spark, pairs):
+    df = spark.createDataFrame(pairs, "host string, robots_txt string")
+    return {r["host"]: r for r in parse_robots_txt(df).collect()}
+
+
+def test_parse_star_section_only(spark):
+    out = _parse(spark, [("a.test", ROBOTS_A)])["a.test"]
+    # googlebot-only rules ignored; star section honored
+    assert out["disallow_prefixes"] == ["/private", "/tmp/"]
+    assert out["crawl_delay_ms"] == 2000
+
+
+def test_empty_disallow_allows_all(spark):
+    out = _parse(spark, [("b.test", ROBOTS_B)])["b.test"]
+    assert out["disallow_prefixes"] == []
+    assert out["crawl_delay_ms"] == 0
+
+
+def test_crlf_and_fractional_delay(spark):
+    out = _parse(spark, [("c.test", ROBOTS_C)])["c.test"]
+    assert out["disallow_prefixes"] == ["/a"]
+    assert out["crawl_delay_ms"] == 500
+
+
+def test_crawl_delay_budget_caps_pop(spark, sf_dir):
+    frontier = seed_frontier(spark, sf_dir)
+    robots = spark.createDataFrame(
+        [("host-0.test", ["/x"], 250), ("host-1.test", ["/x"], 0)],
+        "host string, disallow_prefixes array<string>, crawl_delay_ms int",
+    )
+    budgets = crawl_delay_budgets(robots, window_ms=1000, default_budget=50)
+    got = {r["host"]: r["budget"] for r in budgets.collect()}
+    assert got == {"host-0.test": 4, "host-1.test": 50}  # 1000/250, default
+
+    cfg = EngineConfig(per_host_budget=50)
+    released, deferred = pop_batch(frontier, cfg, host_budgets=budgets)
+    per_host = {r["host"]: r["count"] for r in released.groupBy("host").count().collect()}
+    totals = {r["host"]: r["count"] for r in frontier.groupBy("host").count().collect()}
+    assert per_host["host-0.test"] == 4                              # crawl-delay cap
+    assert per_host["host-1.test"] == min(50, totals["host-1.test"])  # default budget
+    assert per_host["host-2.test"] == min(50, totals["host-2.test"])  # no robots row
+    assert released.count() + deferred.count() == frontier.count()
