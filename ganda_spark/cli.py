@@ -141,23 +141,34 @@ def main(argv: list[str] | None = None) -> int:
             emit_status_log(fetched, cfg)
         ok.unpersist()
 
-    if cfg.throttle_per_second:
-        # F5: release waves — ≤ throttle rows enter the fetch per second
-        from pyspark.sql import Window
+    try:
+        if cfg.throttle_per_second:
+            # F5: release waves — ≤ throttle rows enter the fetch per second
+            from pyspark.sql import Window
 
-        rn = F.row_number().over(Window.orderBy("seq"))
-        reqs = reqs.withColumn(
-            "_wave", F.floor((rn - 1) / cfg.throttle_per_second).cast("int")
-        )
-        waves = [r[0] for r in reqs.select("_wave").distinct().orderBy("_wave").collect()]
-        for w in waves:
-            t0 = time.time()
-            fetch_and_emit(reqs.where(F.col("_wave") == w).drop("_wave"))
-            elapsed = time.time() - t0
-            if w != waves[-1] and elapsed < 1.0:
-                time.sleep(1.0 - elapsed)
-    else:
-        fetch_and_emit(reqs)
+            rn = F.row_number().over(Window.orderBy("seq"))
+            reqs = reqs.withColumn(
+                "_wave", F.floor((rn - 1) / cfg.throttle_per_second).cast("int")
+            )
+            waves = [
+                r[0] for r in reqs.select("_wave").distinct().orderBy("_wave").collect()
+            ]
+            for w in waves:
+                t0 = time.time()
+                fetch_and_emit(reqs.where(F.col("_wave") == w).drop("_wave"))
+                elapsed = time.time() - t0
+                if w != waves[-1] and elapsed < 1.0:
+                    time.sleep(1.0 - elapsed)
+        else:
+            fetch_and_emit(reqs)
+    except Exception as exc:  # fail-fast parity: parse errors stop the
+        # stream with a message, not a traceback (parser/parser.go:111-116)
+        msg = str(exc)
+        if "USER_RAISED_EXCEPTION" in msg:
+            msg = msg.split("USER_RAISED_EXCEPTION] ", 1)[-1].split("SQLSTATE")[0]
+        print(f"ganda-spark: error: {msg.strip()}", file=sys.stderr)
+        spark.stop()
+        return 1
 
     spark.stop()
     return 0

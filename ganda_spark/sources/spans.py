@@ -131,6 +131,25 @@ def assemble_spans(flat: DataFrame) -> DataFrame:
     )
 
 
+def assemble_response_spans(results: DataFrame) -> DataFrame:
+    """T10 proper: fetched responses → interleaved span docs.
+
+    results: (doc_id, kind, span_offset, url, status, body) — the output of
+    extract_urls → fetch. Each fetched URL becomes a media/link span whose
+    text carries the response body (200s) and whose media_ref is the URL;
+    order is restored by span_offset, NOT by arrival order — the
+    span-sequence-equality invariant (kind, text, media_ref, order) per
+    doc_id survives any fetch parallelism."""
+    flat = results.select(
+        "doc_id",
+        F.col("kind"),
+        F.when(F.col("status") == 200, F.col("body")).otherwise(F.lit("")).alias("text"),
+        F.col("url").alias("media_ref"),
+        F.col("span_offset").cast("int").alias("offset"),
+    )
+    return assemble_spans(flat)
+
+
 def explode_spans(span_docs: DataFrame) -> DataFrame:
     """Flat view (the invariant-comparison shape)."""
     return span_docs.select("doc_id", F.explode("spans").alias("s")).select(

@@ -57,6 +57,44 @@ def test_span_roundtrip_invariant(spark, sf_dir):
         assert offs == sorted(offs)
 
 
+def test_response_span_assembly_invariant(spark, sf_dir):
+    """extract → fetch (any parallelism) → assemble: span sequence per
+    doc_id is (kind, text, media_ref, order)-identical to the seq computed
+    at W=1 — BASELINE.json input_hint invariant."""
+    import pyspark.sql.functions as F2
+
+    from ganda_spark.config import EngineConfig
+    from ganda_spark.functions.urls import url_host
+    from ganda_spark.operators.fetch import mock_fetch_udf
+    from ganda_spark.sources.spans import assemble_response_spans
+
+    docs = synth_span_docs(spark, sf_dir).limit(200)
+    urls = extract_urls(docs).withColumn("host", url_host(F2.col("url")))
+    one = assemble_response_spans(
+        mock_fetch_udf(urls, EngineConfig(retries=1, request_workers=1))
+    )
+    many = assemble_response_spans(
+        mock_fetch_udf(
+            urls.repartition(16), EngineConfig(retries=1, request_workers=16)
+        )
+    )
+    joined = one.alias("a").join(many.alias("b"), "doc_id")
+    assert joined.where(F2.col("a.spans") != F2.col("b.spans")).count() == 0
+    assert one.count() == 200
+    # offsets strictly increasing inside every assembled doc
+    bad = one.where(
+        F2.exists(
+            F2.zip_with(
+                F2.slice("spans", 1, F2.size("spans") - 1),
+                F2.slice("spans", 2, F2.size("spans") - 1),
+                lambda x, y: x["offset"] >= y["offset"],
+            ),
+            lambda v: v,
+        )
+    )
+    assert bad.count() == 0
+
+
 def test_assembly_order_under_shuffle(spark, sf_dir):
     """Shuffling the flat rows must not change assembled order —
     array_sort, not arrival order, defines the sequence."""
