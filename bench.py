@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -174,8 +175,16 @@ def run_scaling(sf_dir: str, n_cores: int = 8, n4_cores: int = 32) -> dict:
     for cores in (n_cores, n4_cores):
         env = dict(os.environ)
         code = _CHILD_CODE.format(repo=repo)
+        # pin the child to exactly `cores` physical CPUs: local[N] alone
+        # limits task slots, not CPUs — the un-pinned JVM + python workers
+        # of the N-core child would sprawl across the whole box and make
+        # the N baseline artificially fast (unfair to the 4N side, and
+        # unlike a real cluster where an executor owns its cores).
+        pin = []
+        if shutil.which("taskset"):
+            pin = ["taskset", "-c", f"0-{cores - 1}"]
         res = subprocess.run(
-            [sys.executable, "-c", code, str(cores), sf_dir],
+            [*pin, sys.executable, "-c", code, str(cores), sf_dir],
             capture_output=True, text=True, env=env, timeout=1200,
         )
         line = [l for l in res.stdout.splitlines() if l.startswith("RESULT ")]

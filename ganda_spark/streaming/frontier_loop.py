@@ -19,9 +19,14 @@ df.observe() accumulators — no extra actions.
 
 from __future__ import annotations
 
+import itertools
 from typing import Callable
 
 from pyspark.sql import DataFrame, Observation, SparkSession
+
+# Observation names must be session-unique; a bare "gen0" collides when two
+# drivers run in one SparkSession (tests, notebooks)
+_OBS_COUNTER = itertools.count()
 from pyspark.sql import functions as F
 
 from ganda_spark.config import EngineConfig
@@ -89,7 +94,15 @@ class CrawlDriver:
         eligible = frontier.where(F.col("not_before") <= gen)
         held = frontier.where(F.col("not_before") > gen)
 
+        # metrics without extra actions: observe() accumulators fill when
+        # the committed writes execute the plan (north rule: fetch/dedup/
+        # defer metrics per generation)
+        uid = next(_OBS_COUNTER)
+        obs_eligible = Observation(f"g{gen}-{uid}-eligible")
+        eligible = eligible.observe(obs_eligible, F.count(F.lit(1)).alias("n"))
         unseen = filter_unseen_exact(eligible, seen)
+        obs_unseen = Observation(f"g{gen}-{uid}-unseen")
+        unseen = unseen.observe(obs_unseen, F.count(F.lit(1)).alias("n"))
         if self.robots is not None:
             allowed, _blocked = robots_gate(unseen, self.robots)
             # F7×F8: robots crawl-delay caps each host's per-generation pop
@@ -103,7 +116,7 @@ class CrawlDriver:
             budgets = None
         released, deferred = pop_batch(allowed, cfg, host_budgets=budgets)
 
-        obs = Observation(f"gen{gen}")
+        obs = Observation(f"g{gen}-{uid}-released")
         placed = partition_for_fetch(released, cfg).observe(
             obs, F.count(F.lit(1)).alias("released_rows")
         )
@@ -141,9 +154,22 @@ class CrawlDriver:
 
         results_cached = results.cache()
         n_results = results_cached.count()
+
+        def _obs_or(observation, key, fallback_df):
+            # AQE's empty-relation propagation can eliminate a CollectMetrics
+            # node outright (empty generation) — fall back to a direct count
+            try:
+                return int(observation.get[key])
+            except Exception:
+                return fallback_df.count()
+
+        n_eligible = _obs_or(obs_eligible, "n", eligible)
+        n_unseen = _obs_or(obs_unseen, "n", unseen)
         metrics = {
             "generation": gen,
-            "released": int(obs.get["released_rows"]),
+            "eligible": n_eligible,
+            "dedup_dropped": n_eligible - n_unseen,
+            "released": _obs_or(obs, "released_rows", released),
             "results": n_results,
             "errors": errors.count(),
         }

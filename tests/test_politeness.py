@@ -60,6 +60,34 @@ def test_partition_for_fetch_preserves_rows(spark, sf_dir):
     assert placed.rdd.getNumPartitions() == 8
 
 
+def test_salting_balances_hot_host(spark, sf_dir):
+    """The hot host (~24% of rows) must not pin one task: with the seq
+    salt, the max fetch-partition size stays close to uniform."""
+    frontier = seed_frontier(spark, sf_dir)
+    n = frontier.count()
+    cfg = EngineConfig(request_workers=8, skew_salt=8, host_buckets=64)
+    placed = partition_for_fetch(frontier, cfg)
+    sizes = placed.rdd.glom().map(len).collect()
+    hot = frontier.where(F.col("host") == "host-0.test").count()
+    assert hot / n > 0.2  # the skew is real
+    # no partition holds more than ~2× its fair share
+    assert max(sizes) <= (n / 8) * 2.2
+
+
+def test_fetch_plan_has_single_python_eval(spark, sf_dir):
+    """Regression: a deterministic fetch UDF + filter-on-result used to
+    double the ArrowEvalPython node (every fetch ran twice, PLANS.md §1)."""
+    from ganda_spark.operators.fetch import mock_fetch_udf, split_results
+
+    frontier = seed_frontier(spark, sf_dir)
+    results, errors = split_results(
+        mock_fetch_udf(frontier, EngineConfig(retries=1))
+    )
+    for df in (results, errors):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ArrowEvalPython") == 1, plan[:2000]
+
+
 def test_robots_gate(spark, sf_dir):
     frontier = seed_frontier(spark, sf_dir)
     robots = spark.createDataFrame(
