@@ -81,11 +81,21 @@ def _fetched_cte(retries: int = 1) -> str:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: one full crawl generation (seen anti-join → robots →
     politeness pop → fetch with retry → sha256 JSON envelope) at sf0.001."""
-    return q_k1_crawl_pipeline(spark, "/root/testdata/sf0.001")
+    return queries()["k1_crawl_pipeline"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _sql) in _REGISTRY.items()}
+    from ganda_spark.session import ensure_shipped
+
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_shipped(spark)  # UDF workers must import ganda_spark
+            return fn(spark, sf_dir)
+
+        run.__name__ = fn.__name__
+        return run
+
+    return {name: wrap(fn) for name, (fn, _sql) in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -25,6 +25,19 @@ def _ship_package(spark: SparkSession) -> None:
     spark.sparkContext.addPyFile(zip_path)
 
 
+def ensure_shipped(spark: SparkSession) -> None:
+    """Idempotently ship the package on a session WE didn't create (e.g.
+    the verification driver's own SparkSession) so pandas UDFs can import
+    ganda_spark in executor workers regardless of cwd."""
+    if getattr(spark, "_ganda_pkg_shipped", False):
+        return
+    try:
+        _ship_package(spark)
+    except Exception:
+        pass  # e.g. file already registered — workers can already import
+    spark._ganda_pkg_shipped = True
+
+
 def get_spark(
     app_name: str = "ganda-spark",
     cores: int | None = None,
