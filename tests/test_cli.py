@@ -100,6 +100,17 @@ def test_cli_output_directory(echo, tmp_path):
         assert body["status"] == 200
 
 
+def test_cli_w1_output_order_is_input_order(echo):
+    """The W=1 ordering contract (tour cell 39; single response worker,
+    execcontext/execcontext.go:63-64): stdout lines in exact input order."""
+    urls = [echo.url_for(f"ordered/{i}") for i in (5, 3, 9, 1, 7)]
+    code, out, _err = run_cli(["-s", "-W", "1", "-J", "-B", "discard"],
+                              "\n".join(urls) + "\n")
+    assert code == 0
+    got = [json.loads(l)["url"] for l in out.splitlines()]
+    assert got == urls
+
+
 def test_cli_empty_input_is_clean_noop():
     code, out, err = run_cli(["-s"], "")
     assert (code, out, err) == (0, "", "")

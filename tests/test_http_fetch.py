@@ -94,6 +94,35 @@ def test_transport_error_is_retried_then_reported(spark):
     assert out["fetch_error"] is not None and out["status"] == 0
 
 
+def test_latency_bound_scaling_model(spark):
+    """throughput ≈ workers / latency (reference tour cells 41-43: 1000
+    requests × 1 s delay at W=100 ⇒ ~10 s). Here: 60 × 200 ms at W=20 must
+    beat W=2 by a wide margin — proves the pandas-UDF fetch truly overlaps
+    in-flight requests across partitions."""
+    import time
+
+    with Echoserver(delay_millis=200) as slow:
+        df = spark.createDataFrame(
+            [(i, slow.url_for(f"d/{i}"), "127.0.0.1") for i in range(40)],
+            "seq long, url string, host string",
+        ).cache()
+        df.count()
+
+        def timed(workers):
+            cfg = EngineConfig(retries=0, request_workers=workers)
+            t0 = time.time()
+            out = http_fetch_udf(df.repartition(workers), cfg)
+            assert out.where(F.col("status") == 200).count() == 40
+            return time.time() - t0
+
+        # session fixture is local[8]: true concurrency caps at 8 tasks
+        timed(8)  # warm python workers
+        t_w8 = timed(8)   # ideal ≈ 40/8 × 0.2 s = 1.0 s
+        t_w1 = timed(1)   # ideal ≈ 40 × 0.2 s = 8 s
+        assert t_w1 > t_w8 * 3  # concurrency is real
+        assert t_w8 < 4.0       # and in the right ballpark
+
+
 def test_per_line_method_and_body(spark, echo):
     """POST with body through the real client (request construct S7)."""
     cfg = EngineConfig(retries=0, request_method="POST")
