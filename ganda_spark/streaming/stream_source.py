@@ -33,15 +33,31 @@ def start_streaming_crawl(
     cfg: EngineConfig,
     mock: bool = True,
     max_files_per_trigger: int = 10,
+    dedupe_stream: bool = False,
 ):
     """Returns the StreamingQuery. Each arriving URL file becomes a
     micro-batch: parse → fetch → split → append results/errors parquet.
-    Exactly-once per input file via the checkpointed file source."""
+    Exactly-once per input file via the checkpointed file source.
+
+    dedupe_stream=True adds Structured Streaming's STATEFUL url dedup
+    (dropDuplicates backed by the state store, checkpointed with the
+    query): the same url arriving in two different files is fetched once —
+    the streaming twin of the frontier loop's seen set. State grows
+    unbounded by design here (crawl identity has no event-time horizon);
+    bound it with dropDuplicatesWithinWatermark when recrawl-after-T
+    semantics are wanted."""
     lines = (
         spark.readStream.format("text")
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(input_dir)
     )
+    if dedupe_stream:
+        # key on the URL (field 0), not the whole line — contexts may vary
+        lines = (
+            lines.withColumn("_url_key", F.split(F.col("value"), "\t").getItem(0))
+            .dropDuplicates(["_url_key"])
+            .drop("_url_key")
+        )
 
     fetcher = mock_fetch_udf if mock else http_fetch_udf
 

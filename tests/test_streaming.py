@@ -17,6 +17,28 @@ def _write_url_file(path, start, n):
             f.write(f"http://host-{i % 5}.test/stream/{i}\tctx{i}\n")
 
 
+def test_streaming_stateful_dedup(spark, tmp_path):
+    """dropDuplicates state store: a url arriving in TWO files (across
+    micro-batches, one file per trigger) is fetched exactly once."""
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    _write_url_file(os.path.join(in_dir, "a.txt"), 0, 40)
+    _write_url_file(os.path.join(in_dir, "b.txt"), 20, 40)  # 20..39 overlap
+
+    cfg = EngineConfig(retries=1, request_workers=4)
+    q = start_streaming_crawl(
+        spark, in_dir, out_dir, ckpt, cfg, mock=True,
+        max_files_per_trigger=1, dedupe_stream=True,
+    )
+    q.awaitTermination(120)
+    results = spark.read.parquet(os.path.join(out_dir, "results"))
+    errors = spark.read.parquet(os.path.join(out_dir, "errors"))
+    assert results.count() + errors.count() == 60  # not 80
+    assert results.select("url").distinct().count() == results.count()
+
+
 def test_streaming_crawl_exactly_once(spark, tmp_path):
     in_dir = str(tmp_path / "in")
     out_dir = str(tmp_path / "out")
