@@ -9,6 +9,13 @@ is a pure function of md5(url) both engines compute identically.
 
 from __future__ import annotations
 
+import os
+import sys
+
+# the engine package lives next to this file; make the import independent
+# of the verification driver's cwd / sys.path
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -981,7 +988,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_shingles(_near_corpus(spark, sf_dir)).persist()
     sigs = minhash_signatures(docs, k=8)
     banded = lsh_band_hashes(sigs, k=8, rows_per_band=2).persist()
-    pairs = lsh_candidate_pairs(banded, k=8, rows_per_band=2)
+    pairs = lsh_candidate_pairs(banded, k=8, rows_per_band=2, broadcast_bands=True)
     verified = jaccard_verify(pairs, docs)
     return verified.where(F.col("jaccard") >= 0.5)
 

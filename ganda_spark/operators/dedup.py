@@ -102,11 +102,19 @@ def lsh_band_hashes(sigs: DataFrame, k: int = 8, rows_per_band: int = 2) -> Data
 
 
 def lsh_candidate_pairs(
-    banded: DataFrame, id_col: str = "doc_id", k: int = 8, rows_per_band: int = 2
+    banded: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 8,
+    rows_per_band: int = 2,
+    broadcast_bands: bool = False,
 ) -> DataFrame:
     """Self-join inside band buckets → distinct (id_a < id_b) pairs. The
     join key (band index, band hash) is the ONLY shuffle; bucket sizes are
-    the skew knob (AQE skew-join splits hot buckets)."""
+    the skew knob (AQE skew-join splits hot buckets).
+
+    broadcast_bands=True hints one side broadcast — right when the band
+    table (n_docs × n_bands × 40 B) fits an executor; at 10^10 docs leave
+    False and let the shuffle + AQE handle it."""
     n_bands = k // rows_per_band
     per_band = []
     for b in range(n_bands):
@@ -118,7 +126,7 @@ def lsh_candidate_pairs(
     for x in per_band[1:]:
         all_bands = all_bands.unionByName(x)
     a = all_bands.alias("a")
-    bb = all_bands.alias("b")
+    bb = (F.broadcast(all_bands) if broadcast_bands else all_bands).alias("b")
     pairs = (
         a.join(bb, ["band", "bh"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -137,6 +145,9 @@ def jaccard_verify(
     sh = docs_with_shingles.select(
         F.col(id_col), F.array_distinct("shingles").alias("sh")
     )
+    # pairs is the (tiny) candidate set — broadcast it so the wide shingle
+    # arrays never shuffle: two broadcast-hash joins, zero exchanges of sh
+    pairs = F.broadcast(pairs)
     j = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

@@ -89,25 +89,44 @@ class BloomFilter:
 
 
 def build_bloom(seen_urls: DataFrame, n_bits: int = 1 << 24, n_hashes: int = 5) -> BloomFilter:
-    """Partition-local bloom build, merged via treeAggregate (OR of bit
-    arrays) — the 10^10-scale path: each task touches only its partition,
-    the driver receives sqrt(P) pre-merged bitmaps, never P."""
+    """Partition-local bloom build over the Arrow channel: each task folds
+    its partition into ONE bitmap (vectorized numpy adds on xxhash64 values
+    computed JVM-side) and emits the bitmap as a single binary row; the
+    driver ORs P blobs. P×(bits/8) driver ingress is fine up to a few GB;
+    past that use build_bloom_tree (treeAggregate: sqrt(P) ingress)."""
+    import pandas as pd
+
     hashes = seen_urls.select(url_hash64(F.col("url")).alias("h"))
 
-    def seq_op(bloom: BloomFilter, row) -> BloomFilter:
-        bloom.add_hashes(np.array([row[0]], dtype=np.int64))
-        return bloom
+    def fold_partition(batches):
+        bloom = BloomFilter(n_bits, n_hashes)
+        for pdf in batches:
+            if len(pdf):
+                bloom.add_hashes(pdf["h"].to_numpy(dtype=np.int64))
+        yield pd.DataFrame({"bits": [bloom.bits.tobytes()]})
 
-    def seq_op_partition(bloom, rows):
+    blobs = hashes.mapInPandas(fold_partition, "bits binary").collect()
+    out = BloomFilter(n_bits, n_hashes)
+    for row in blobs:
+        out.bits |= np.frombuffer(row["bits"], dtype=np.uint8)
+    return out
+
+
+def build_bloom_tree(
+    seen_urls: DataFrame, n_bits: int = 1 << 24, n_hashes: int = 5
+) -> BloomFilter:
+    """treeAggregate OR-merge — the 10^10-scale path for big bitmaps: the
+    driver receives sqrt(P) pre-merged bitmaps, never P."""
+    hashes = seen_urls.select(url_hash64(F.col("url")).alias("h"))
+
+    def fold(rows):
+        bloom = BloomFilter(n_bits, n_hashes)
         arr = np.fromiter((r[0] for r in rows), dtype=np.int64)
         if len(arr):
             bloom.add_hashes(arr)
-        return bloom
+        return [bloom]
 
-    # mapPartitions first so each task does ONE vectorized add, then tree-OR
-    rdd = hashes.rdd.mapPartitions(
-        lambda rows: [seq_op_partition(BloomFilter(n_bits, n_hashes), rows)]
-    )
+    rdd = hashes.rdd.mapPartitions(fold)
     return rdd.treeAggregate(
         BloomFilter(n_bits, n_hashes),
         lambda a, b: a.union(b),

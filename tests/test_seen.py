@@ -36,6 +36,19 @@ def test_bloom_no_false_negatives(spark, sf_dir):
     assert n_bloom >= n_exact * 0.98
 
 
+def test_bloom_arrow_and_tree_builds_agree(spark, sf_dir):
+    """The Arrow-collect build and the treeAggregate build must produce
+    bit-identical bitmaps (same hashes, same probes)."""
+    import numpy as np
+
+    from ganda_spark.operators.seen import build_bloom_tree
+
+    seen = seed_frontier(spark, sf_dir).limit(500).select("url")
+    a = build_bloom(seen, n_bits=1 << 18, n_hashes=5)
+    b = build_bloom_tree(seen, n_bits=1 << 18, n_hashes=5)
+    assert np.array_equal(a.bits, b.bits)
+
+
 def test_bloom_merge_is_union(spark, sf_dir):
     frontier = seed_frontier(spark, sf_dir).limit(400)
     a = frontier.where(F.col("seq") % 2 == 0).select("url")
