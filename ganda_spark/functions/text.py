@@ -5,10 +5,8 @@ expressions (split/filter/aggregate/regexp) — codegen'd, no Python.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-from ganda_spark.operators.dedup import md5_int
 
 # tiny per-language stopword tables for the n-gram-free heuristic
 STOPWORDS = {
