@@ -200,14 +200,13 @@ def q_s6_body_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("p_partkey") % 3 == 1, F.lit("escaped"))
         .otherwise(F.lit("json"))
         .alias("body_type"),
+        # decode_body's contract: the DECODED string (what from_json yields
+        # for a STRING field), i.e. base64 text / unquoted string / raw JSON
         F.when(
             F.col("p_partkey") % 3 == 0,
-            F.concat(F.lit('"'), F.base64(F.col("p_name").cast("binary")), F.lit('"')),
+            F.base64(F.col("p_name").cast("binary")),
         )
-        .when(
-            F.col("p_partkey") % 3 == 1,
-            F.concat(F.lit('"'), F.col("p_name"), F.lit('"')),
-        )
+        .when(F.col("p_partkey") % 3 == 1, F.col("p_name"))
         .otherwise(F.concat(F.lit('{"name":"'), F.col("p_name"), F.lit('"}')))
         .alias("body"),
     )
@@ -687,15 +686,20 @@ u AS (
   SELECT concat('doc-', CAST(doc_id AS VARCHAR)), vid_url FROM d WHERE doc_id % 3 = 0
 )
 SELECT doc_id, count(*) AS n_urls,
-       sum(CASE WHEN {o['status_final']} = 200 THEN 1 ELSE 0 END) AS n_ok,
-       sum(CASE WHEN {o['dropped']} THEN 1 ELSE 0 END) AS n_dropped
+       -- CAST: DuckDB sum() yields HUGEINT, which pandas renders float64
+       -- (2.0 vs Spark's 2) — the driver compares pandas-rendered values
+       CAST(sum(CASE WHEN {o['status_final']} = 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+       CAST(sum(CASE WHEN {o['dropped']} THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
 FROM u GROUP BY doc_id
 """
 
 
 # ---------------------------------------------------------------------------
-# bloom seen filter — probabilistic, no SQL equivalent (rows-only check);
-# exactness vs the anti-join oracle is pinned in tests/test_seen.py
+# bloom seen filter — oracle-checkable invariant form: a bloom has false
+# POSITIVES only (withheld rows, recovered by the exact confirm in
+# operators/seen.py), NEVER false negatives, so both deterministic
+# invariants below are SQL-expressible. The (hash-dependent) FP rate is
+# pinned by tests/test_seen.py instead.
 # ---------------------------------------------------------------------------
 
 
@@ -703,7 +707,30 @@ def q_f10_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier = seed_frontier(spark, sf_dir)
     seen = frontier.where(F.col("seq") % 3 == 0).select("url")
     bloom = build_bloom(seen, n_bits=1 << 22, n_hashes=5)
-    return filter_unseen_bloom(frontier, bloom).select("url", "host")
+    passed = filter_unseen_bloom(frontier, bloom).select("url")
+    exact = filter_unseen_exact(frontier, seen).select("url")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+            F.lit(name).alias("invariant"), "n"
+        )
+
+    return one(
+        # a URL in the seen set must NEVER pass the bloom (no re-fetch)
+        "bloom_passed_but_seen", passed.join(seen, "url", "left_semi")
+    ).unionByName(
+        # the bloom-passed set is a SUBSET of the exact anti-join result
+        one("exact_unseen", exact)
+    )
+
+
+_SQL_F10_BLOOM = f"""
+WITH {_DUCK_FRONTIER}
+SELECT 'bloom_passed_but_seen' AS invariant, CAST(0 AS BIGINT) AS n
+UNION ALL
+SELECT 'exact_unseen', CAST(count(*) AS BIGINT)
+FROM frontier WHERE seq % 3 <> 0
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1114,8 +1141,11 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = corpus.alias("b")
     from ganda_spark.operators.similarity import cosine
 
+    # equi-join form (b.vec_id == a.vec_id + 100000) so Catalyst extracts a
+    # hash-join key; the algebraically-equal (b - a == 100000) predicate has
+    # no extractable equi-key and degrades to BroadcastNestedLoopJoin
     pairs = (
-        a.join(b, (F.col("b.vec_id") - F.col("a.vec_id")) == 100000)
+        a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + F.lit(100000))
         .select(
             F.col("a.vec_id").cast("long").alias("id_a"),
             F.col("b.vec_id").cast("long").alias("id_b"),
@@ -1299,9 +1329,10 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_FINGERPRINT = f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       list_sum([{_DUCK_MD5INT8.format(x='words[k]')} * (((k - 1) % 31) + 1)
+       -- CAST: list_sum over BIGINTs is HUGEINT → float64 through pandas
+       CAST(list_sum([{_DUCK_MD5INT8.format(x='words[k]')} * (((k - 1) % 31) + 1)
                  for k in generate_series(1, len(words))]) % 1000000007
-         AS fingerprint
+            AS BIGINT) AS fingerprint
 FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
 """
 
@@ -1426,7 +1457,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "k1_crawl_pipeline": (q_k1_crawl_pipeline, _sql_k1()),
     "s10_span_extract": (q_s10_span_extract, _SQL_S10),
     "t10_span_assembly": (q_t10_span_assembly, _SQL_T10),
-    "f10_bloom_filter": (q_f10_bloom_filter, None),
+    "f10_bloom_filter": (q_f10_bloom_filter, _SQL_F10_BLOOM),
     "t9_canonicalize": (q_t9_canonicalize, _SQL_T9),
     "span_crawl": (q_span_crawl, _sql_span_crawl()),
     "f5_throttle_waves": (q_f5_throttle_waves, _SQL_F5),

@@ -23,6 +23,7 @@ VALID_METHODS = (
 MAX_WORKERS = 1 << 20  # reference: cli/worker_flag.go:29-39 (-W in [1, 2^20])
 RETRY_DELAY_CAP_MS = 30_000  # reference: requests/requests.go:117-121
 MAX_CONNS_PER_HOST = 50  # reference: requests/requests.go:29 — politeness ceiling
+MAX_LINE_BYTES = 1 << 20  # reference: parser/parser.go:105 (bufio 1 MB scan buffer)
 
 
 @dataclass(frozen=True)

@@ -18,29 +18,34 @@ ROBOTS_SCHEMA = (
     "struct<in_star:boolean, disallow:array<string>, delay_ms:bigint>"
 )
 
-_PARSE_FOLD = """
+# directive value = text after the FIRST colon — substring_index(..., -1)
+# (text after the LAST colon) mangles any value containing ':', e.g.
+# 'Disallow: /redirect?to=http://x' would yield '//x' and under-block
+_VAL = "trim(substr(raw, instr(raw, ':') + 1))"
+
+_PARSE_FOLD = f"""
 aggregate(
-  split({txt}, '\\r?\\n'),
+  split({{txt}}, '\\r?\\n'),
   named_struct('in_star', false,
                'disallow', CAST(array() AS ARRAY<STRING>),
                'delay_ms', CAST(0 AS BIGINT)),
   (acc, raw) -> CASE
     WHEN lower(trim(raw)) RLIKE '^user-agent\\\\s*:' THEN
       named_struct(
-        'in_star', trim(substring_index(raw, ':', -1)) = '*',
+        'in_star', {_VAL} = '*',
         'disallow', acc.disallow,
         'delay_ms', acc.delay_ms)
     WHEN acc.in_star AND lower(trim(raw)) RLIKE '^disallow\\\\s*:'
-         AND length(trim(substring_index(raw, ':', -1))) > 0 THEN
+         AND length({_VAL}) > 0 THEN
       named_struct(
         'in_star', acc.in_star,
-        'disallow', array_append(acc.disallow, trim(substring_index(raw, ':', -1))),
+        'disallow', array_append(acc.disallow, {_VAL}),
         'delay_ms', acc.delay_ms)
     WHEN acc.in_star AND lower(trim(raw)) RLIKE '^crawl-delay\\\\s*:' THEN
       named_struct(
         'in_star', acc.in_star,
         'disallow', acc.disallow,
-        'delay_ms', CAST(try_cast(trim(substring_index(raw, ':', -1)) AS DOUBLE)
+        'delay_ms', CAST(try_cast({_VAL} AS DOUBLE)
                          * 1000 AS BIGINT))
     ELSE acc
   END,

@@ -6,9 +6,11 @@ over static headers with per-line winning (parser/parser.go:145-165,
 pinned parser/parser_test.go:213-236); body decoded per bodyType
 (parser/parser.go:167-191); context is any JSON value carried verbatim.
 
-Spark-first: from_json for the spec, map_concat under
-spark.sql.mapKeyDedupPolicy=LAST_WIN for the header merge, a when/otherwise
-ladder for body decode — all JVM-side.
+Spark-first: from_json for the spec, a policy-independent
+map_filter+map_concat for the header merge (works under ANY
+spark.sql.mapKeyDedupPolicy — the driver's vanilla session runs the
+default EXCEPTION policy), a when/otherwise ladder for body decode — all
+JVM-side.
 """
 
 from __future__ import annotations
@@ -24,20 +26,24 @@ REQUEST_SPEC_DDL = (
 )
 
 
-def decode_body(body: Column, body_type: Column) -> Column:
+def decode_body(body: Column, body_type: Column, raw: Column | None = None) -> Column:
     """S6 — reference parser/parser.go:167-191.
 
-    escaped ⇒ JSON-string unquote; base64 ⇒ unquote + decode; json/'' ⇒ raw
-    JSON bytes; anything else ⇒ error (fail-fast parity).
+    `body` is the DECODED string value of the body field — exactly what
+    from_json yields for a STRING schema field (already strconv.Unquote'd
+    for JSON strings; raw JSON text for object/array values). So:
+    escaped ⇒ body as-is (the unquote already happened); base64 ⇒ decode;
+    json/'' ⇒ the raw JSON bytes (`raw` when provided — preserves quoting
+    for scalar-string bodies — else body); anything else ⇒ error
+    (fail-fast parity).
     """
     bt = F.coalesce(body_type, F.lit(""))
-    # strconv.Unquote equivalent: JVM-side JSON string unescape
-    unquoted = F.get_json_object(F.concat(F.lit('{"v":'), body, F.lit("}")), "$.v")
+    raw_json = raw if raw is not None else body
     return (
         F.when(body.isNull(), F.lit(None).cast("string"))
-        .when(bt == "escaped", unquoted)
-        .when(bt == "base64", F.unbase64(unquoted).cast("string"))
-        .when((bt == "json") | (bt == ""), body)
+        .when(bt == "escaped", body)
+        .when(bt == "base64", F.unbase64(body).cast("string"))
+        .when((bt == "json") | (bt == ""), raw_json)
         .otherwise(
             F.raise_error(
                 F.concat(
@@ -64,13 +70,27 @@ def parse_json_lines(lines: DataFrame, cfg: EngineConfig) -> DataFrame:
     """
     static_headers = F.create_map(
         *[x for kv in cfg.request_headers.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
-    ) if cfg.request_headers else F.expr("map()")
+    ) if cfg.request_headers else F.expr("CAST(map() AS MAP<STRING,STRING>)")
+
+    from ganda_spark.config import MAX_LINE_BYTES
+
+    # 1 MB max-line guard: the reference's bufio.Scanner buffer fails fast
+    # on oversized lines (parser/parser.go:105) instead of parsing them
+    checked_line = F.when(
+        F.length("value") > MAX_LINE_BYTES,
+        F.raise_error(
+            F.concat(
+                F.lit(f"input line exceeds {MAX_LINE_BYTES} bytes: "),
+                F.substring("value", 1, 80),
+            )
+        ),
+    ).otherwise(F.col("value"))
 
     parsed = lines.select(
         F.monotonically_increasing_id().alias("seq"),
-        F.col("value"),
-        F.from_json("value", REQUEST_SPEC_DDL).alias("r"),
-        F.get_json_object("value", "$.context").alias("_ctx_extracted"),
+        checked_line.alias("value"),
+        F.from_json(checked_line, REQUEST_SPEC_DDL).alias("r"),
+        F.get_json_object(checked_line, "$.context").alias("_ctx_extracted"),
     )
     # get_json_object unquotes scalar strings; recover raw JSON for strings
     # by re-quoting when the spec's context was a JSON string.
@@ -100,11 +120,34 @@ def parse_json_lines(lines: DataFrame, cfg: EngineConfig) -> DataFrame:
         ).alias("method"),
         F.when(
             F.col("r.headers").isNotNull(),
-            F.map_concat(static_headers, F.col("r.headers")),
+            # per-line wins: drop static keys the line overrides BEFORE the
+            # concat — correct under any mapKeyDedupPolicy (the driver's
+            # vanilla session runs EXCEPTION, where a plain map_concat with
+            # a colliding key throws DUPLICATED_MAP_KEY)
+            F.map_concat(
+                F.map_filter(
+                    static_headers,
+                    lambda k, _: ~F.array_contains(
+                        F.map_keys(F.col("r.headers")), k
+                    ),
+                ),
+                F.col("r.headers"),
+            ),
         )
         .otherwise(static_headers)
         .alias("headers"),
-        decode_body(F.col("r.body"), F.col("r.bodyType")).alias("body"),
+        decode_body(
+            F.col("r.body"),
+            F.col("r.bodyType"),
+            # raw JSON text of the body field for bodyType json/'': re-quote
+            # when the spec's body was a JSON string (same trick as context)
+            raw=F.when(
+                F.col("value").rlike('"body"\\s*:\\s*"'),
+                F.concat(
+                    F.lit('"'), go_json_escape(F.col("r.body")), F.lit('"')
+                ),
+            ).otherwise(F.col("r.body")),
+        ).alias("body"),
         ctx_raw.alias("context_json"),
     )
 

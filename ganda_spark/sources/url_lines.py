@@ -57,7 +57,18 @@ def parse_url_lines(
     n_quotes = F.length(F.col("value")) - F.length(
         F.regexp_replace(F.col("value"), '"', "")
     )
+    from ganda_spark.config import MAX_LINE_BYTES
+
     checked = F.when(
+        # 1 MB max-line guard (reference bufio buffer, parser/parser.go:105)
+        F.length("value") > MAX_LINE_BYTES,
+        F.raise_error(
+            F.concat(
+                F.lit(f"input line exceeds {MAX_LINE_BYTES} bytes: "),
+                F.substring("value", 1, 80),
+            )
+        ),
+    ).when(
         n_quotes % 2 == 1,
         F.raise_error(F.concat(F.lit("malformed TSV record: "), F.col("value"))),
     ).otherwise(F.col("value"))

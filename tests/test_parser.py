@@ -105,6 +105,27 @@ def test_header_merge_per_line_wins(spark):
     assert h == {"x-a": "static", "x-b": "line", "x-c": "line"}
 
 
+def test_header_merge_under_vanilla_dedup_policy(spark):
+    # Driver regression (CORRECTNESS_r01 s5_json_parse): the merge must not
+    # depend on spark.sql.mapKeyDedupPolicy=LAST_WIN — the driver runs a
+    # vanilla session where the default EXCEPTION policy throws on a plain
+    # map_concat with a colliding key.
+    prev = spark.conf.get("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+    try:
+        cfg = EngineConfig(request_headers={"x-static": "from-config"})
+        df = parse_json_lines(
+            _lines_df(
+                spark,
+                ['{"url": "http://a.test/1", "headers": {"x-static": "line-wins"}}'],
+            ),
+            cfg,
+        )
+        assert df.collect()[0]["headers"] == {"x-static": "line-wins"}
+    finally:
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", prev)
+
+
 def test_context_round_trip(spark):
     cfg = EngineConfig()
     df = parse_json_lines(
@@ -125,11 +146,12 @@ def test_context_round_trip(spark):
 
 
 def test_body_decode_modes(spark):
-    # parser/parser_test.go:261-297 (S6)
+    # parser/parser_test.go:261-297 (S6). decode_body takes the DECODED
+    # string value — what from_json yields for a STRING schema field.
     df = spark.createDataFrame(
         [
-            ('"aGVsbG8="', "base64", "hello"),
-            ('"say \\"hi\\""', "escaped", 'say "hi"'),
+            ("aGVsbG8=", "base64", "hello"),
+            ('say "hi"', "escaped", 'say "hi"'),
             ('{"a": 1}', "json", '{"a": 1}'),
             ('{"a": 1}', None, '{"a": 1}'),
         ],
@@ -140,6 +162,46 @@ def test_body_decode_modes(spark):
     ).collect()
     for r in out:
         assert r["got"] == r["expected"]
+
+
+def test_parse_json_lines_body_end_to_end(spark):
+    # Regression: decode_body used to re-unquote values that from_json had
+    # already decoded, silently NULLing every base64/escaped request body
+    # that came through parse_json_lines (ADVICE r1; parser.go:167-184).
+    cfg = EngineConfig()
+    df = parse_json_lines(
+        _lines_df(
+            spark,
+            [
+                '{"url": "http://a.test/1", "body": "aGVsbG8=", "bodyType": "base64"}',
+                '{"url": "http://a.test/2", "body": "say \\"hi\\"", "bodyType": "escaped"}',
+                '{"url": "http://a.test/3", "body": {"a": 1}, "bodyType": "json"}',
+                '{"url": "http://a.test/4", "body": "plain str", "bodyType": "json"}',
+                '{"url": "http://a.test/5"}',
+            ],
+        ),
+        cfg,
+    )
+    rows = {r["url"]: r["body"] for r in df.collect()}
+    assert rows["http://a.test/1"] == "hello"
+    assert rows["http://a.test/2"] == 'say "hi"'
+    assert rows["http://a.test/3"] == '{"a":1}'
+    # bodyType json with a scalar-string body: raw JSON bytes keep quotes
+    assert rows["http://a.test/4"] == '"plain str"'
+    assert rows["http://a.test/5"] is None
+
+
+def test_max_line_guard(spark):
+    # parser/parser.go:105 — a >1 MB line fails the stream fast
+    from ganda_spark.sources.url_lines import parse_url_lines
+
+    big = "http://a.test/" + "x" * (1 << 20)
+    with pytest.raises(Exception, match="exceeds"):
+        parse_url_lines(spark, _lines_df(spark, [big])).collect()
+    with pytest.raises(Exception, match="exceeds"):
+        parse_json_lines(
+            _lines_df(spark, ['{"url": "' + big + '"}']), EngineConfig()
+        ).collect()
 
 
 def test_body_decode_unknown_type_fails(spark):

@@ -49,6 +49,19 @@ def test_crlf_and_fractional_delay(spark):
     assert out["crawl_delay_ms"] == 500
 
 
+def test_disallow_value_with_colon(spark):
+    # Regression (ADVICE r1): values split on the LAST colon mangled any
+    # path containing ':' — '/redirect?to=http://x' became '//x' and
+    # disallowed URLs passed the gate. Split on the FIRST colon.
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /redirect?to=http://x\n"
+        "Disallow: /a:b\n"
+    )
+    out = _parse(spark, [("d.test", txt)])["d.test"]
+    assert out["disallow_prefixes"] == ["/redirect?to=http://x", "/a:b"]
+
+
 def test_crawl_delay_budget_caps_pop(spark, sf_dir):
     frontier = seed_frontier(spark, sf_dir)
     robots = spark.createDataFrame(

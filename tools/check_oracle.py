@@ -1,7 +1,15 @@
 """Local stand-in for the driver's correctness gate: runs every
 __spark_entry__.queries() entry at sf0.01 and compares against
 oracle_sql() via DuckDB — row count, column names, order-insensitive
-value hash (values stringified with float rounding).
+value hash.
+
+Faithful to the DRIVER environment (CORRECTNESS_r01 lessons):
+  * a VANILLA SparkSession — no ganda_spark.session confs. Queries that
+    only pass under our own session factory (e.g. mapKeyDedupPolicy)
+    are bugs the driver will catch; this harness must catch them first.
+  * pandas rendering on BOTH sides (df.toPandas() / duckdb .df()), not
+    fetchall() — DuckDB HUGEINT becomes float64 through pandas ("2.0"
+    vs Spark's "2"), which fetchall() masks (it yields Python ints).
 
 Usage: python tools/check_oracle.py [query_name ...]
 """
@@ -16,6 +24,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
+import numpy as np  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = (
@@ -27,22 +36,32 @@ TABLES = (
 def _norm(v):
     if v is None:
         return "\\N"
-    if isinstance(v, float):
+    if isinstance(v, (bool, np.bool_)):
+        return "true" if v else "false"
+    if isinstance(v, (float, np.floating)):
+        v = float(v)
         if v != v:
             return "nan"
         return f"{v:.6g}"
-    if isinstance(v, bool):
-        return "true" if v else "false"
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, np.integer):
+        return str(int(v))
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(_norm(x) for x in v) + "]"
     return str(v)
 
 
-def value_hash(rows, colnames):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+def _canon(pdf):
+    """pandas DataFrame → (lowered colnames, sorted canonical row lines)."""
+    cols = [c.lower() for c in pdf.columns]
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted(
-        "\x1f".join(_norm(r[i]) for i in order) for r in rows
+        "\x1f".join(_norm(r[i]) for i in order)
+        for r in pdf.itertuples(index=False, name=None)
     )
+    return cols, lines
+
+
+def value_hash(lines) -> str:
     h = hashlib.sha256()
     for line in lines:
         h.update(line.encode())
@@ -52,9 +71,15 @@ def value_hash(rows, colnames):
 
 def main(only: list[str]) -> int:
     import __spark_entry__ as entry
-    from ganda_spark.session import get_spark
+    from pyspark.sql import SparkSession
 
-    spark = get_spark("oracle-check", cores=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    # VANILLA session — deliberately not ganda_spark.session.get_spark()
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("oracle-check-vanilla")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
@@ -73,58 +98,38 @@ def main(only: list[str]) -> int:
         t0 = time.time()
         try:
             df = fn(spark, SF_DIR)
-            spark_cols = [c.lower() for c in df.columns]
-            spark_rows = [tuple(r) for r in df.collect()]
+            spark_cols, spark_lines = _canon(df.toPandas())
         except Exception as e:
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
             failures += 1
             continue
         if name not in oracles:
-            print(f"ok?  {name}: rows={len(spark_rows)} (no oracle, rows-only) "
+            print(f"ok?  {name}: rows={len(spark_lines)} (no oracle, rows-only) "
                   f"[{time.time()-t0:.1f}s]")
             continue
         try:
-            res = con.sql(oracles[name])
-            duck_cols = [c.lower() for c in res.columns]
-            duck_rows = res.fetchall()
+            duck_cols, duck_lines = _canon(con.sql(oracles[name]).df())
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
             failures += 1
             continue
         problems = []
-        if len(spark_rows) != len(duck_rows):
-            problems.append(f"rows {len(spark_rows)} vs {len(duck_rows)}")
+        if len(spark_lines) != len(duck_lines):
+            problems.append(f"rows {len(spark_lines)} vs {len(duck_lines)}")
         if sorted(spark_cols) != sorted(duck_cols):
             problems.append(f"cols {sorted(spark_cols)} vs {sorted(duck_cols)}")
-        if not problems:
-            hs = value_hash(spark_rows, spark_cols)
-            hd = value_hash(duck_rows, duck_cols)
-            if hs != hd:
-                problems.append("value-hash mismatch")
-                # show a small diff sample
-                ss = {
-                    "\x1f".join(
-                        _norm(r[i])
-                        for i in sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
-                    )
-                    for r in spark_rows
-                }
-                ds = {
-                    "\x1f".join(
-                        _norm(r[i])
-                        for i in sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
-                    )
-                    for r in duck_rows
-                }
-                for x in list(ss - ds)[:3]:
-                    print(f"   spark-only: {x[:160]}")
-                for x in list(ds - ss)[:3]:
-                    print(f"   duck-only : {x[:160]}")
+        if not problems and value_hash(spark_lines) != value_hash(duck_lines):
+            problems.append("value-hash mismatch")
+            ss, ds = set(spark_lines), set(duck_lines)
+            for x in list(ss - ds)[:3]:
+                print(f"   spark-only: {x[:160]}")
+            for x in list(ds - ss)[:3]:
+                print(f"   duck-only : {x[:160]}")
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
             failures += 1
         else:
-            print(f"PASS {name}: rows={len(spark_rows)} [{time.time()-t0:.1f}s]")
+            print(f"PASS {name}: rows={len(spark_lines)} [{time.time()-t0:.1f}s]")
     return failures
 
 
