@@ -130,26 +130,32 @@ def main(argv: list[str] | None = None) -> int:
     parts = max(1, cfg.request_workers)
 
     def fetch_and_emit(batch_df) -> None:
-        fetched = fetcher(batch_df.repartition(parts), cfg)
-        ok = fetched.where(F.col("fetch_error").isNull()).cache()
-        errs = fetched.where(F.col("fetch_error").isNotNull())
+        # cache the WHOLE fetch result: ok/status splits must come from one
+        # execution (duplicate real HTTP requests otherwise)
+        fetched = fetcher(batch_df.repartition(parts), cfg).cache()
+        ok = fetched.where(F.col("fetch_error").isNull())
         if args.output_directory:
             write_files(ok, cfg, args.output_directory)
-            emit_status_log(ok, cfg)
+            # reference logs retry-exhausted URLs to stderr in ALL modes
+            # (requests/requests.go:75-76) — include error rows here too
+            emit_status_log(fetched, cfg)
         else:
             emit_stdout(ok, cfg)
             emit_status_log(fetched, cfg)
-        ok.unpersist()
+        fetched.unpersist()
 
     try:
         if cfg.throttle_per_second:
-            # F5: release waves — ≤ throttle rows enter the fetch per second
-            from pyspark.sql import Window
+            # F5: release waves — ≤ throttle rows enter the fetch per second.
+            # Scale-safe global rank (range partition + offsets), not an
+            # unpartitioned row_number Window.
+            from ganda_spark.operators.ranking import with_global_rank
 
-            rn = F.row_number().over(Window.orderBy("seq"))
+            reqs = with_global_rank(reqs, ["seq"], parts, rank_col="_rn")
             reqs = reqs.withColumn(
-                "_wave", F.floor((rn - 1) / cfg.throttle_per_second).cast("int")
-            )
+                "_wave",
+                F.floor((F.col("_rn") - 1) / cfg.throttle_per_second).cast("int"),
+            ).drop("_rn")
             waves = [
                 r[0] for r in reqs.select("_wave").distinct().orderBy("_wave").collect()
             ]

@@ -42,6 +42,7 @@ class EchoHandler(BaseHTTPRequestHandler):
     server_version = "ganda-spark-echo"
     delay_millis = 0
     flaky_counts: dict[str, int] = defaultdict(int)
+    hits: dict[str, int] = defaultdict(int)
     flaky_lock = threading.Lock()
     silent = True
 
@@ -55,6 +56,8 @@ class EchoHandler(BaseHTTPRequestHandler):
     def _handle(self) -> None:
         if self.delay_millis > 0:  # echoserver.go:47-50
             time.sleep(self.delay_millis / 1000.0)
+        with self.flaky_lock:  # test hook: per-path request counter
+            self.hits[self.path] += 1
         length = int(self.headers.get("Content-Length") or 0)
         body = self.rfile.read(length) if length else b""
 
@@ -89,8 +92,10 @@ class Echoserver:
             "BoundEchoHandler",
             (EchoHandler,),
             {"delay_millis": delay_millis, "silent": silent,
-             "flaky_counts": defaultdict(int), "flaky_lock": threading.Lock()},
+             "flaky_counts": defaultdict(int), "hits": defaultdict(int),
+             "flaky_lock": threading.Lock()},
         )
+        self._handler = handler
         self.server = ThreadingHTTPServer(("127.0.0.1", port), handler)
         self.port = self.server.server_address[1]
         self._thread = threading.Thread(target=self.server.serve_forever, daemon=True)
@@ -108,3 +113,8 @@ class Echoserver:
 
     def url_for(self, path: str) -> str:
         return f"http://127.0.0.1:{self.port}/{path.lstrip('/')}"
+
+    @property
+    def hits(self) -> dict[str, int]:
+        """Per-path request counts (test hook: duplicate-request detector)."""
+        return dict(self._handler.hits)

@@ -74,9 +74,16 @@ def pop_batch(
 
     if global_budget is not None:
         # F5: global release cap — deterministic: keep the globally best
-        # (priority, seq) rows among the per-host winners.
-        w_all = Window.orderBy(F.col("priority").asc(), F.col("seq").asc())
-        capped = released.withColumn("_gk", F.row_number().over(w_all))
+        # (priority, seq) rows among the per-host winners. Scale-safe rank
+        # (range-partition + per-partition offsets) — an unpartitioned
+        # row_number() Window would funnel the whole frontier through one
+        # task (VERDICT r1 #5).
+        from ganda_spark.operators.ranking import with_global_rank
+
+        parts = max(cfg.request_workers, frontier.rdd.getNumPartitions())
+        capped = with_global_rank(
+            released, ["priority", "seq"], parts, rank_col="_gk"
+        )
         over = capped.where(F.col("_gk") > global_budget).drop("_gk")
         released = capped.where(F.col("_gk") <= global_budget).drop("_gk")
         deferred = deferred.unionByName(over)

