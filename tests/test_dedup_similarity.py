@@ -58,6 +58,33 @@ def test_minhash_lsh_recall_on_near_dups(spark, sf_dir):
     corpus.unpersist()
 
 
+def test_jaccard_verify_degenerate_bands_no_broadcast(spark, sf_dir):
+    """Degenerate LSH (every doc shares a band hash → O(n²) candidate
+    pairs) must NOT be broadcast: past max_broadcast_pairs the verify
+    falls back to shuffle joins (VERDICT r1 caveat on dedup.py:150)."""
+    docs = with_shingles(_docs(spark, sf_dir).limit(60)).persist()
+    a = docs.select(F.col("doc_id").alias("id_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"))
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))  # 1770 pairs
+
+    from ganda_spark.operators.dedup import _should_broadcast_pairs
+
+    # decision boundary: over the bound → NO broadcast hint (AQE may still
+    # pick broadcast from accurate runtime sizes — that's safe; the bug was
+    # the unconditional driver-side hint on an unbounded pair set)
+    assert not _should_broadcast_pairs(pairs, 100)
+    assert _should_broadcast_pairs(pairs.limit(10), 100)
+
+    # shuffle-join path stays correct end to end
+    verified = jaccard_verify(pairs, docs, max_broadcast_pairs=100)
+    assert verified.count() == pairs.count()
+    assert verified.where(F.col("jaccard") > 1.0).count() == 0
+    # small-pairs path still carries the explicit broadcast hint
+    v2 = jaccard_verify(pairs.limit(10), docs)
+    assert "Broadcast" in v2._jdf.queryExecution().executedPlan().toString()
+    docs.unpersist()
+
+
 def test_simhash_close_for_near_dups_far_for_random(spark, sf_dir):
     docs = _docs(spark, sf_dir).limit(100)
     words = F.split("text", " ")
