@@ -906,6 +906,8 @@ from ganda_spark.operators.dedup import (  # noqa: E402
 from ganda_spark.operators.multimodal import (  # noqa: E402
     binary_meta,
     decode_meta,
+    resize_meta,
+    sample_frames,
     to_binary_table,
 )
 from ganda_spark.operators.similarity import (  # noqa: E402
@@ -1018,7 +1020,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_shingles(_near_corpus(spark, sf_dir)).persist()
     sigs = minhash_signatures(docs, k=8)
     banded = lsh_band_hashes(sigs, k=8, rows_per_band=2).persist()
-    pairs = lsh_candidate_pairs(banded, k=8, rows_per_band=2, broadcast_bands=True)
+    # persist the candidate set: jaccard_verify's broadcast-size probe and
+    # the verify join both read it — without the persist the band self-join
+    # would run twice
+    pairs = lsh_candidate_pairs(
+        banded, k=8, rows_per_band=2, broadcast_bands=True
+    ).persist()
     verified = jaccard_verify(pairs, docs)
     return verified.where(F.col("jaccard") >= 0.5)
 
@@ -1387,6 +1394,67 @@ FROM documents
 """
 
 
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving fit into a 512×512 box over the Arrow resize pass
+    (mapInPandas); integer basis-point geometry so DuckDB reproduces it."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return resize_meta(to_binary_table(docs), max_w=512, max_h=512).select(
+        "doc_id",
+        F.col("src_w").cast("long").alias("src_w"),
+        F.col("src_h").cast("long").alias("src_h"),
+        F.col("out_w").cast("long").alias("out_w"),
+        F.col("out_h").cast("long").alias("out_h"),
+        "scale_bp",
+    )
+
+
+_SQL_MM_RESIZE = """
+WITH dims AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         64 + CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 1920 AS w,
+         64 + CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) % 1080 AS h
+  FROM documents
+),
+scaled AS (
+  SELECT doc_id, w, h,
+         least(10000, 512 * 10000 // w, 512 * 10000 // h) AS scale_bp
+  FROM dims
+)
+SELECT doc_id, CAST(w AS BIGINT) AS src_w, CAST(h AS BIGINT) AS src_h,
+       CAST(greatest(1, w * scale_bp // 10000) AS BIGINT) AS out_w,
+       CAST(greatest(1, h * scale_bp // 10000) AS BIGINT) AS out_h,
+       CAST(scale_bp AS BIGINT) AS scale_bp
+FROM scaled
+"""
+
+
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=4 evenly-spaced frame offsets per video row (hash-derived fake
+    duration) — the ffmpeg keyframe-pass batch shape, fan-out inside the
+    Arrow batch."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sample_frames(to_binary_table(docs), k=4).select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "offset_ms",
+        "frame_ref",
+    )
+
+
+_SQL_MM_FRAMES = """
+WITH vids AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         1000 + CAST(('0x' || substr(md5(text), 9, 6)) AS BIGINT) % 600000
+           AS duration_ms
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+       CAST(i * duration_ms // 4 AS BIGINT) AS offset_ms,
+       concat(doc_id, '#t=', CAST(i * duration_ms // 4 AS VARCHAR)) AS frame_ref
+FROM vids, generate_series(0, 3) AS t(i)
+"""
+
+
 # --- relational extras (events windows + pricing summary) -----------------------
 
 
@@ -1481,6 +1549,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "text_fingerprint": (q_text_fingerprint, _SQL_FINGERPRINT),
     "mm_binary_meta": (q_mm_binary_meta, _SQL_MM_META),
     "mm_decode_stub": (q_mm_decode_stub, _SQL_MM_DECODE),
+    "mm_resize": (q_mm_resize, _SQL_MM_RESIZE),
+    "mm_frame_sample": (q_mm_frame_sample, _SQL_MM_FRAMES),
     "events_hourly": (q_events_hourly, _SQL_EVENTS),
     "agg_pricing_summary": (q_agg_pricing_summary, _SQL_PRICING),
 }

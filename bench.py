@@ -73,6 +73,7 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict, dict]:
     for name in (
         "k1_crawl_pipeline",
         "f9_priority_pop",
+        "f5_throttle_waves",
         "f10_bloom_filter",
         "t6_envelope",
         "s10_span_extract",

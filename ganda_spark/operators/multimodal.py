@@ -105,3 +105,74 @@ def decode_meta(binary_df: DataFrame, use_real_decoder: bool = False) -> DataFra
             )
 
     return binary_df.mapInPandas(decode, DECODE_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id string, src_w int, src_h int, out_w int, out_h int, scale_bp long"
+)
+
+
+def resize_meta(
+    binary_df: DataFrame, max_w: int = 512, max_h: int = 512,
+    use_real_decoder: bool = False,
+) -> DataFrame:
+    """Resize pass plumbing (mapInPandas): aspect-preserving fit into a
+    (max_w, max_h) box. The pixel resample itself is stubbed (`_decode_real`
+    gates on PIL); the geometry — integer basis-point scale so every engine
+    reproduces it bit-for-bit — is real and oracle-checked. Never upscales
+    (scale_bp capped at 10000)."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, mtype in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_type"]
+            ):
+                raw = bytes(payload) if payload is not None else b""
+                if use_real_decoder:
+                    _decode_real(raw, mtype)
+                _fmt, w, h = _fake_decode(raw, mtype)
+                scale_bp = min(10000, max_w * 10000 // w, max_h * 10000 // h)
+                rows.append(
+                    (doc_id, w, h,
+                     max(1, w * scale_bp // 10000),
+                     max(1, h * scale_bp // 10000),
+                     scale_bp)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "src_w", "src_h", "out_w", "out_h", "scale_bp"],
+            )
+
+    return binary_df.mapInPandas(resize, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id string, frame_idx int, offset_ms long, frame_ref string"
+
+
+def sample_frames(binary_df: DataFrame, k: int = 4) -> DataFrame:
+    """Frame-sampling plumbing for video rows: k evenly-spaced offsets over
+    a deterministic fake duration (content-hash-derived — a real ffprobe
+    returns it from the container header). Fan-out happens INSIDE the Arrow
+    batch (one row per frame), the same shape a real ffmpeg keyframe pass
+    produces; non-video rows are dropped."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, mtype in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_type"]
+            ):
+                if not str(mtype).startswith("video/"):
+                    continue
+                raw = bytes(payload) if payload is not None else b""
+                h = hashlib.md5(raw).hexdigest()
+                duration_ms = 1000 + int(h[8:14], 16) % 600000
+                for i in range(k):
+                    off = i * duration_ms // k
+                    rows.append((doc_id, i, off, f"{doc_id}#t={off}"))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "offset_ms", "frame_ref"]
+            )
+
+    return binary_df.mapInPandas(sample, FRAME_SCHEMA)
