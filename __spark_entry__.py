@@ -889,6 +889,7 @@ FROM frontier
 # ===========================================================================
 
 from ganda_spark.functions.text import (  # noqa: E402
+    embed_text,
     fingerprint,
     lang_id,
     quality_metrics,
@@ -1347,6 +1348,39 @@ FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
 """
 
 
+def q_text_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction stub: hash-projection bag-of-words embedding in
+    exact integer basis points (the cross-engine-stable oracle form)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = embed_text(docs)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        *[
+            F.element_at("embedding_bp", j + 1).alias(f"d{j}")
+            for j in range(8)
+        ],
+    )
+
+
+def _sql_text_embed() -> str:
+    def dim(j: int) -> str:
+        s, byte = divmod(j, 6)
+        h = (
+            f"CAST(('0x' || substr(md5(concat('{s}:', w)), 1, 12)) AS BIGINT)"
+        )
+        return (
+            f"CAST(list_sum([({h} >> {8 * byte}) & 255 for w in words])"
+            f" * 10000 // len(words) - 1275000 AS BIGINT) AS d{j}"
+        )
+
+    cols = ",\n       ".join(dim(j) for j in range(8))
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       {cols}
+FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+"""
+
+
 # --- multimodal ------------------------------------------------------------------
 
 
@@ -1547,6 +1581,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "text_quality": (q_text_quality, _SQL_QUALITY),
     "text_token_counts": (q_text_token_counts, _SQL_TOKENS),
     "text_fingerprint": (q_text_fingerprint, _SQL_FINGERPRINT),
+    "text_embed": (q_text_embed, _sql_text_embed()),
     "mm_binary_meta": (q_mm_binary_meta, _SQL_MM_META),
     "mm_decode_stub": (q_mm_decode_stub, _SQL_MM_DECODE),
     "mm_resize": (q_mm_resize, _SQL_MM_RESIZE),

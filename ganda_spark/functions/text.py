@@ -79,6 +79,61 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+EMBED_DIMS = 8
+
+
+def _hash_arr_sql(text_col: str, salt: int) -> str:
+    """words → 48-bit salted hash array (one md5 per word per salt)."""
+    return (
+        f"transform(split({text_col}, ' '), w -> "
+        f"CAST(conv(substr(md5(concat('{salt}:', w)), 1, 12), 16, 10) AS BIGINT))"
+    )
+
+
+def embed_text(df: DataFrame, text_col: str = "text", dims: int = EMBED_DIMS) -> DataFrame:
+    """Feature-extraction stub: a hash-projection bag-of-words embedding —
+    dim j = mean over words of (byte_j(salted md5(w)) − 127.5). The cheap
+    deterministic stand-in for a learned text encoder: preserves bag-of-
+    words similarity (near-duplicate docs land close in cosine), md5-derived
+    so DuckDB reproduces it bit-for-bit. Pure Column expressions: hash
+    arrays are hoisted to named columns (one md5 per word per salt, NOT one
+    per dim — CollapseProject would otherwise inline the transform into all
+    `dims` consumers, like the SimHash lesson in operators/dedup.py).
+
+    Adds: embedding array<double> (centered means) and embedding_bp
+    array<bigint> (exact integer basis points, the cross-engine-stable
+    oracle form: floor(sum·10⁴/n) − 1 275 000).
+    """
+    n_salts = (dims + 5) // 6  # 6 usable bytes per 48-bit hash
+    out = df
+    for s in range(n_salts):
+        out = out.withColumn(f"_eh{s}", F.expr(_hash_arr_sql(text_col, s)))
+    n = F.size(F.split(F.col(text_col), " ")).cast("long")
+    n_sql = f"size(split({text_col}, ' '))"
+    sums, bps = [], []
+    for j in range(dims):
+        s, byte = divmod(j, 6)
+        sum_sql = (
+            f"aggregate(_eh{s}, 0L, (acc, h) -> acc + ((h >> {8 * byte}) & 255))"
+        )
+        sums.append(F.expr(sum_sql))
+        # integer `div`, not floor(double /): an exactly-divisible quotient
+        # rendered as a double can land a hair under the integer and
+        # mis-floor — exact integer arithmetic end-to-end instead
+        bps.append(
+            F.expr(
+                f"CAST({sum_sql} * 10000L div {n_sql} - 1275000 AS BIGINT)"
+            )
+        )
+    emb = F.array(*[(x - 127.5 * n) / n for x in sums])
+    emb_bp = F.array(*bps)
+    return (
+        out.withColumn("embedding", emb)
+        .withColumn("embedding_bp", emb_bp)
+        .drop(*[f"_eh{s}" for s in range(n_salts)])
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Order-dependent rolling fingerprint: Σ_k h32(word_k)·(((k-1)%31)+1)
     mod p — position-sensitive (a permuted document fingerprints

@@ -68,17 +68,24 @@ def start_streaming_crawl(
             "host", url_host(F.col("url"))
         )
         placed = reqs.repartition(max(1, cfg.request_workers))
-        results, errors = split_results(fetcher(placed, cfg))
-        (
-            results.withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(os.path.join(output_dir, "results"))
-        )
-        (
-            errors.withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(os.path.join(output_dir, "errors"))
-        )
+        # persist: the results and errors writes must split ONE fetch
+        # execution (a real fetcher would otherwise issue every request
+        # twice — same bug class as the frontier loop, VERDICT r1 #4)
+        fetched = fetcher(placed, cfg).persist()
+        try:
+            results, errors = split_results(fetched)
+            (
+                results.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(os.path.join(output_dir, "results"))
+            )
+            (
+                errors.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(os.path.join(output_dir, "errors"))
+            )
+        finally:
+            fetched.unpersist()
 
     return (
         lines.writeStream.foreachBatch(process_batch)

@@ -39,6 +39,29 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     assert results.select("url").distinct().count() == results.count()
 
 
+def test_streaming_live_fetch_once_per_url(spark, tmp_path):
+    """Regression (same class as the frontier-loop one): the results and
+    errors writes each re-ran the fetch — with a live fetcher every URL was
+    requested twice per micro-batch. Echoserver hit counter pins 1×."""
+    from ganda_spark.echoserver import Echoserver
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    with Echoserver() as srv:
+        with open(os.path.join(in_dir, "a.txt"), "w") as f:
+            for i in range(30):
+                f.write(srv.url_for(f"s/{i}") + "\n")
+        cfg = EngineConfig(retries=0, request_workers=2)
+        q = start_streaming_crawl(
+            spark, in_dir, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+            cfg, mock=False,
+        )
+        q.awaitTermination(120)
+        hits = srv.hits
+        dupes = {p: n for p, n in hits.items() if n != 1}
+        assert len(hits) == 30 and not dupes, dupes
+
+
 def test_streaming_crawl_exactly_once(spark, tmp_path):
     in_dir = str(tmp_path / "in")
     out_dir = str(tmp_path / "out")
