@@ -81,15 +81,10 @@ def hyperplane_signs(n_planes: int, dim: int) -> list[list[int]]:
     return planes
 
 
-def lsh_bucket(
-    emb: DataFrame,
-    n_planes: int = 8,
-    dim: int = 64,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """(id, bucket): bucket = Σ_p (v·plane_p ≥ 0) << p. Plane literals are
-    broadcast constants folded into codegen."""
+def bucket_col(n_planes: int, dim: int, vec_col: str = "embedding") -> Column:
+    """bucket = Σ_p (v·plane_p ≥ 0) << p as a pure Column — plane literals
+    are constants folded into codegen, so bucketing is a projection, never
+    a join."""
     v = as_double(F.col(vec_col))
     planes = hyperplane_signs(n_planes, dim)
     bucket = None
@@ -97,7 +92,20 @@ def lsh_bucket(
         plane = F.array(*[F.lit(float(s)) for s in signs])
         bit = F.when(dot(v, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
-    return emb.select(F.col(id_col), bucket.cast("long").alias("bucket"))
+    return bucket.cast("long")
+
+
+def lsh_bucket(
+    emb: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket) projection of bucket_col."""
+    return emb.select(
+        F.col(id_col), bucket_col(n_planes, dim, vec_col).alias("bucket")
+    )
 
 
 def ann_topk(
@@ -111,21 +119,23 @@ def ann_topk(
 ) -> DataFrame:
     """Approximate top-k: exact scoring restricted to the query's LSH
     bucket. Recall < 1 by construction; the bench compares cost vs
-    brute_force_topk."""
+    brute_force_topk.
+
+    Bucketing is a projection (bucket_col) on BOTH sides — an earlier
+    version joined a separate (id, bucket) table back onto the corpus,
+    which shuffled the corpus against itself and computed the plane dot
+    products twice."""
     from pyspark.sql import Window
 
-    buckets = lsh_bucket(emb, n_planes, dim, id_col, vec_col)
-    e = emb.join(buckets, id_col)
-    q = (
-        query_ids.join(buckets, id_col)
-        .select(
-            F.col(id_col).alias("qid"),
-            as_double(F.col(vec_col)).alias("qv"),
-            F.col("bucket").alias("qbucket"),
-        )
+    b = bucket_col(n_planes, dim, vec_col)
+    q = query_ids.select(
+        F.col(id_col).alias("qid"),
+        as_double(F.col(vec_col)).alias("qv"),
+        b.alias("qbucket"),
     )
-    c = e.select(
-        F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("nv"), "bucket"
+    c = emb.select(
+        F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("nv"),
+        b.alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), (F.col("bucket") == F.col("qbucket")) & (F.col("qid") != F.col("nid")))
