@@ -1214,6 +1214,65 @@ FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 """
 
 
+def _duck_cos(a: str, b: str) -> str:
+    """cosine({a}, {b}) for DOUBLE[] columns — same fold as Spark's
+    zip_with+aggregate."""
+    return (
+        f"(list_sum([{a}[i] * {b}[i] for i in generate_series(1, len({a}))]) /"
+        f" (sqrt(list_sum([{a}[i] * {a}[i] for i in generate_series(1, len({a}))])) *"
+        f"  sqrt(list_sum([{b}[i] * {b}[i] for i in generate_series(1, len({b}))]))))"
+    )
+
+
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (second scale path beside LSH): deterministic
+    centroids = first 16 corpus vectors, corpus assigned to 1 list, queries
+    probe 2 lists, exact scoring inside."""
+    from ganda_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10)
+    return ivf_topk(emb, q, k=5, n_centroids=16, nprobe=2).select(
+        F.col("qid").cast("long").alias("qid"),
+        F.col("nid").cast("long").alias("nid"),
+        "rank",
+        "cos_r",
+    )
+
+
+def _sql_ivf_topk() -> str:
+    cos_vc = _duck_cos("x.v", "c.cv")
+    cos_qn = _duck_cos("p.qv", "a.v")
+    return f"""
+WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding::DOUBLE[] AS v
+           FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+assign AS (
+  SELECT vec_id, v, cid AS list_id FROM (
+    SELECT x.vec_id, x.v, c.cid,
+           row_number() OVER (PARTITION BY x.vec_id
+                              ORDER BY {cos_vc} DESC, c.cid ASC) AS rk
+    FROM e x CROSS JOIN cent c
+  ) WHERE rk = 1
+),
+probes AS (
+  SELECT vec_id AS qid, v AS qv, cid AS list_id FROM (
+    SELECT x.vec_id, x.v, c.cid,
+           row_number() OVER (PARTITION BY x.vec_id
+                              ORDER BY {cos_vc} DESC, c.cid ASC) AS rk
+    FROM e x CROSS JOIN cent c WHERE x.vec_id < 10
+  ) WHERE rk <= 2
+)
+SELECT qid, nid, CAST(rank AS BIGINT) AS rank, cos_r FROM (
+  SELECT p.qid, a.vec_id AS nid, round({cos_qn}, 4) AS cos_r,
+         row_number() OVER (PARTITION BY p.qid
+                            ORDER BY {cos_qn} DESC, a.vec_id ASC) AS rank
+  FROM assign a JOIN probes p USING (list_id)
+  WHERE p.qid <> a.vec_id
+) WHERE rank <= 5
+"""
+
+
 def q_sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     dim = len(emb.select("embedding").first()[0])
@@ -1577,6 +1636,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "sim_topk_brute": (q_sim_topk_brute, _SQL_SIM_TOPK),
     "sim_lsh_buckets": (q_sim_lsh_buckets, _sql_lsh_buckets()),
     "sim_ann_topk": (q_sim_ann_topk, _sql_ann_topk()),
+    "sim_ivf_topk": (q_sim_ivf_topk, _sql_ivf_topk()),
     "text_lang_id": (q_text_lang_id, _SQL_LANG),
     "text_quality": (q_text_quality, _SQL_QUALITY),
     "text_token_counts": (q_text_token_counts, _SQL_TOKENS),

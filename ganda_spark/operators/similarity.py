@@ -108,6 +108,78 @@ def lsh_bucket(
     )
 
 
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+    out_id: str = "list_id",
+) -> DataFrame:
+    """IVF coarse quantization: each vector joins its `nprobe`
+    nearest-centroid inverted lists (cosine, ties by centroid id). The
+    centroid table is tiny (C rows) and broadcast; assignment is one corpus
+    scan + a per-vector top-nprobe window keyed by the vector id (never a
+    global window)."""
+    from pyspark.sql import Window
+
+    c = F.broadcast(
+        centroids.select(
+            F.col(id_col).alias("_cid"), as_double(F.col(vec_col)).alias("_cv")
+        )
+    )
+    v = as_double(F.col(vec_col))
+    scored = emb.join(c).withColumn("_ccos", cosine(v, F.col("_cv"))).drop("_cv")
+    w = Window.partitionBy(id_col).orderBy(F.col("_ccos").desc(), F.col("_cid").asc())
+    return (
+        scored.withColumn("_crk", F.row_number().over(w))
+        .where(F.col("_crk") <= nprobe)
+        .withColumnRenamed("_cid", out_id)
+        .drop("_ccos", "_crk")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k — the second scale path next to the LSH
+    buckets: coarse-quantize the corpus into C inverted lists (centroids =
+    the first C corpus vectors by id: deterministic, oracle-reproducible;
+    swap in k-means centroids in production without touching the plan),
+    probe each query's `nprobe` nearest lists, score exactly inside them.
+    Recall dial = nprobe/C. One corpus scan to assign + a candidate join
+    keyed on list_id (the only shuffle)."""
+    from pyspark.sql import Window
+
+    centroids = emb.where(F.col(id_col) < n_centroids)
+    corpus = ivf_assign(emb, centroids, id_col, vec_col, nprobe=1).select(
+        F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("nv"), "list_id"
+    )
+    probes = ivf_assign(query_ids, centroids, id_col, vec_col, nprobe=nprobe).select(
+        F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv"), "list_id"
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "list_id")
+        .where(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "qid", "nid", F.col("rank").cast("long").alias("rank"),
+            F.round("cos", 4).alias("cos_r"),
+        )
+    )
+
+
 def ann_topk(
     emb: DataFrame,
     query_ids: DataFrame,

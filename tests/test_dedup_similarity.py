@@ -131,6 +131,33 @@ def test_ann_is_subset_quality_of_brute_force(spark, sf_dir):
     assert sizes.count() > 1  # corpus split across buckets
 
 
+def test_ivf_quality_and_probe_pruning(spark, sf_dir):
+    """IVF (second scale path): results never beat brute force, probing
+    more lists never hurts recall, and the inverted lists actually
+    partition the corpus."""
+    from ganda_spark.operators.similarity import ivf_assign, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 20)
+    brute = brute_force_topk(emb, q, k=3)
+    ivf = ivf_topk(emb, q, k=3, n_centroids=16, nprobe=2)
+    best = brute.where(F.col("rank") == 1).select(
+        "qid", F.col("cos_r").alias("best_cos")
+    )
+    assert ivf.join(best, "qid").where(F.col("cos_r") > F.col("best_cos")).count() == 0
+
+    # recall is monotone in nprobe: every nprobe=1 hit set ⊆ candidates at 2
+    ivf1 = ivf_topk(emb, q, k=3, n_centroids=16, nprobe=1)
+    overlap_1 = ivf1.join(brute, ["qid", "nid"], "left_semi").count()
+    overlap_2 = ivf.join(brute, ["qid", "nid"], "left_semi").count()
+    assert overlap_2 >= overlap_1
+
+    # the coarse quantizer really partitions the corpus
+    lists = ivf_assign(emb, emb.where(F.col("vec_id") < 16))
+    assert lists.count() == emb.count()  # nprobe=1: one list per vector
+    assert lists.select("list_id").distinct().count() > 1
+
+
 def test_planted_identical_vector_is_rank1(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
