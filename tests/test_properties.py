@@ -111,3 +111,28 @@ def test_go_escape_matches_python_json(s):
     for ch, repl in (("<", "\\u003c"), (">", "\\u003e"), ("&", "\\u0026")):
         expected = expected.replace(ch, repl)
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 10**6)),
+        min_size=1, max_size=150, unique_by=lambda t: t[1],
+    ),
+    st.integers(1, 8),
+)
+def test_global_rank_equals_single_task_reference(rows, parts):
+    """with_global_rank == row_number() OVER (ORDER BY priority, seq) for
+    arbitrary data and partition counts (the scale-safe rank must be
+    indistinguishable from the single-task form it replaces)."""
+    from ganda_spark.operators.ranking import with_global_rank
+
+    spark = _get_spark()
+    df = spark.createDataFrame(list(rows), "priority int, seq long")
+    ranked = with_global_rank(df.repartition(3), ["priority", "seq"], parts, "rk")
+    got = {r["seq"]: r["rk"] for r in ranked.collect()}
+    expect = {
+        s: i + 1
+        for i, (_, s) in enumerate(sorted(rows, key=lambda t: (t[0], t[1])))
+    }
+    assert got == expect
