@@ -157,12 +157,15 @@ class CrawlDriver:
 
         # seen = fetched OK ∪ permanently failed. NOT the redelivered rows —
         # they must survive the next generation's anti-join.
+        # Scale shape: distinct() ONLY the generation's new URLs (they may
+        # repeat within a generation), never the accumulated seen set — the
+        # released rows passed the anti-join, so new ∩ seen = ∅ by
+        # construction and the union needs no re-shuffle of 10^10 old rows.
         perma_failed = errors.where(F.col("attempt") + 1 > self.max_redelivery)
-        next_seen = (
-            seen.unionByName(results.select("url"))
-            .unionByName(perma_failed.select("url"))
-            .distinct()
+        newly_seen = (
+            results.select("url").unionByName(perma_failed.select("url")).distinct()
         )
+        next_seen = seen.unionByName(newly_seen)
 
         # materialize the fetch ONCE: every metric/write below reads the
         # persisted `fetched`
