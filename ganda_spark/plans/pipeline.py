@@ -31,6 +31,9 @@ class GenerationResult:
     errors: DataFrame     # retry-exhausted rows (ganda only logs these)
     deferred: DataFrame   # politeness/budget overflow → next generation
     blocked: DataFrame    # robots-disallowed rows
+    fetched: DataFrame    # the UNSPLIT fetch output — persist() THIS before
+    #                       materializing results and errors separately, or
+    #                       each action re-executes the fetch stage
 
 
 def crawl_generation(
@@ -58,6 +61,7 @@ def crawl_generation(
         errors=errors,
         deferred=deferred,
         blocked=blocked,
+        fetched=fetched,
     )
 
 
