@@ -39,6 +39,70 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     assert results.select("url").distinct().count() == results.count()
 
 
+def test_watermark_windowed_agg_drops_late_rows(spark, tmp_path):
+    """Event-time windows + watermark: a row arriving later than the
+    watermark bound is dropped; finalized windows emit exactly once
+    (append mode). Files process one per micro-batch in arrival order."""
+    import json
+    import time
+
+    from ganda_spark.streaming.windowed import (
+        run_windowed_to_parquet,
+        windowed_event_counts,
+    )
+
+    in_dir = str(tmp_path / "ev")
+    os.makedirs(in_dir)
+
+    def write(name, rows):
+        with open(os.path.join(in_dir, name), "w") as f:
+            for ts, et, v in rows:
+                f.write(json.dumps({"ts": ts, "event_type": et, "value": v}) + "\n")
+        time.sleep(0.05)  # distinct mtimes → deterministic file order
+
+    # batch 0: windows [10,11) A×2 and [11,12) B×2; wm advances to 11:29
+    write("f1.json", [
+        ("2026-01-01 10:05:00", "A", 1.0),
+        ("2026-01-01 10:15:00", "A", 2.0),
+        ("2026-01-01 11:10:00", "B", 1.0),
+        ("2026-01-01 11:59:00", "B", 1.0),
+    ])
+    # batch 1: advances the watermark further (watermark application lags
+    # one batch: the wm computed from batch N's data gates batch N+1)
+    write("f2.json", [("2026-01-01 13:00:00", "C", 1.0)])
+    # batch 2: the 10:20 row is LATE beyond the applied watermark → dropped
+    write("f3.json", [
+        ("2026-01-01 15:00:00", "C", 1.0),
+        ("2026-01-01 10:20:00", "A", 99.0),
+    ])
+    # batch 3: pushes the watermark so earlier windows surely finalize
+    write("f4.json", [("2026-01-01 16:00:00", "C", 1.0)])
+
+    agg = windowed_event_counts(
+        spark, in_dir, window_len="1 hour", lateness="30 minutes",
+        max_files_per_trigger=1,
+    )
+    q = run_windowed_to_parquet(
+        agg, str(tmp_path / "winout"), str(tmp_path / "winckpt")
+    )
+    q.awaitTermination(120)
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1  # the engine itself reports the late-row drop
+    out = spark.read.parquet(str(tmp_path / "winout"))
+    rows = {
+        (r["window_start"].hour, r["event_type"]): (r["n"], r["sum_value"])
+        for r in out.collect()
+    }
+    assert rows[(10, "A")] == (2, 3.0)  # late 99.0 row dropped
+    assert rows[(11, "B")] == (2, 2.0)
+    # exactly-once emission per finalized window
+    assert out.count() == out.select("window_start", "event_type").distinct().count()
+
+
 def test_streaming_live_fetch_once_per_url(spark, tmp_path):
     """Regression (same class as the frontier-loop one): the results and
     errors writes each re-ran the fetch — with a live fetcher every URL was
@@ -60,6 +124,63 @@ def test_streaming_live_fetch_once_per_url(spark, tmp_path):
         hits = srv.hits
         dupes = {p: n for p, n in hits.items() if n != 1}
         assert len(hits) == 30 and not dupes, dupes
+
+
+def test_stateful_host_budget_across_batches(spark, tmp_path):
+    """applyInPandasWithState: the per-host budget persists across
+    micro-batches — 3 files × 10 rows/host against budget 15 releases
+    10, then 5, then 0, best (priority, seq) first."""
+    import json
+
+    from ganda_spark.streaming.stateful import stateful_host_budget
+
+    import time
+
+    in_dir = str(tmp_path / "sin")
+    os.makedirs(in_dir)
+    for b in range(3):
+        with open(os.path.join(in_dir, f"b{b}.json"), "w") as f:
+            for host in ("x.test", "y.test"):
+                for i in range(10):
+                    seq = b * 100 + i
+                    f.write(json.dumps({
+                        "seq": seq, "url": f"http://{host}/{seq}",
+                        "host": host, "priority": i % 3,
+                    }) + "\n")
+        time.sleep(0.05)  # distinct mtimes → deterministic batch order
+
+    stream = (
+        spark.readStream.schema("seq long, url string, host string, priority int")
+        .option("maxFilesPerTrigger", 1)
+        .json(in_dir)
+    )
+    released = stateful_host_budget(stream, budget=15)
+    q = (
+        released.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "sout"))
+        .option("checkpointLocation", str(tmp_path / "sckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "sout"))
+    per_host = {r["host"]: r["count"] for r in out.groupBy("host").count().collect()}
+    assert per_host == {"x.test": 15, "y.test": 15}  # 10 + 5 + 0
+    # lifetime ordinals are exactly 1..15 per host (no dup, no gap)
+    ranks = out.groupBy("host").agg(
+        F.countDistinct("released_rank").alias("d"),
+        F.min("released_rank").alias("lo"),
+        F.max("released_rank").alias("hi"),
+    ).collect()
+    assert all(r["d"] == 15 and r["lo"] == 1 and r["hi"] == 15 for r in ranks)
+    # within each batch, the released rows are the best by (priority, seq):
+    # the PARTIAL batch (ranks 11..15) admitted only priority-0/1 leaders
+    partial = out.where(F.col("released_rank") > 10)
+    assert partial.count() == 10  # 5 per host
+    assert partial.where(F.col("priority") == 2).count() == 0
+    # batch 2 (seq 100-109) is the partial one under deterministic order
+    assert partial.where((F.col("seq") < 100) | (F.col("seq") >= 200)).count() == 0
 
 
 def test_streaming_crawl_exactly_once(spark, tmp_path):
