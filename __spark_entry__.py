@@ -971,6 +971,71 @@ def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- corpus curation: the training-data pipeline end to end -----------------
+
+
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship training-data flow in ONE plan: planted-duplicate
+    corpus → language-ID → quality scoring → quality/lang gate → exact
+    dedup (keep min doc_id). Everything stays JVM Column expressions; the
+    only shuffle is the dedup groupBy on the content hash."""
+    from ganda_spark.functions.text import lang_id, quality_metrics
+    from ganda_spark.operators.dedup import exact_dup_groups
+
+    corpus = _dup_corpus(spark, sf_dir)
+    scored = quality_metrics(lang_id(corpus))
+    gated = scored.where(
+        (F.col("quality_score_bp") >= 5000) & (F.col("lang_guess") == "en")
+    )
+    keepers = exact_dup_groups(gated).select(
+        F.col("keep_id").alias("doc_id"),
+        F.col("n_docs").cast("long").alias("n_copies"),
+    )
+    return gated.join(keepers, "doc_id").select(
+        "doc_id", "lang_guess", "quality_score_bp", "n_words", "n_copies"
+    )
+
+
+def _sql_curate() -> str:
+    # lang + quality over the dup corpus, mirroring _SQL_LANG/_SQL_QUALITY
+    return f"""
+WITH {_DUCK_DUP_CORPUS},
+w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM corpus),
+m AS (
+  SELECT doc_id, text, words, length(text) AS n_chars,
+         len(words) AS n_words,
+         len([x for x in words if x IN ('the','a','of','and','to')]) AS h_en,
+         len([x for x in words if x IN ('der','die','das','und','ist')]) AS h_de,
+         len([x for x in words if x IN ('le','la','les','et','est')]) AS h_fr,
+         len([x for x in words if x IN ('el','los','las','y','es')]) AS h_es
+  FROM w
+),
+scored AS (
+  SELECT doc_id, text,
+         CAST(n_words AS BIGINT) AS n_words,
+         CASE WHEN greatest(h_en,h_de,h_fr,h_es) = 0 THEN 'und'
+              WHEN h_de = greatest(h_en,h_de,h_fr,h_es) THEN 'de'
+              WHEN h_en = greatest(h_en,h_de,h_fr,h_es) THEN 'en'
+              WHEN h_es = greatest(h_en,h_de,h_fr,h_es) THEN 'es'
+              ELSE 'fr' END AS lang_guess,
+         CAST(least(n_words * 100, 10000) // 2 +
+              least((h_en * 10000 // n_words) * 5, 10000) // 2 AS BIGINT)
+           AS quality_score_bp
+  FROM m
+),
+gated AS (
+  SELECT * FROM scored WHERE quality_score_bp >= 5000 AND lang_guess = 'en'
+),
+keepers AS (
+  SELECT md5(text) AS h, min(doc_id) AS doc_id,
+         CAST(count(*) AS BIGINT) AS n_copies
+  FROM gated GROUP BY md5(text)
+)
+SELECT g.doc_id, g.lang_guess, g.quality_score_bp, g.n_words, k.n_copies
+FROM gated g JOIN keepers k ON g.doc_id = k.doc_id
+"""
+
+
 # --- exact dedup -----------------------------------------------------------
 
 
@@ -1628,6 +1693,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "k2_file_manifest": (q_k2_file_manifest, _sql_k2()),
     "k3_status_lines": (q_k3_status_lines, _sql_k3()),
     # training-data pipeline ops
+    "curate_corpus": (q_curate_corpus, _sql_curate()),
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_minhash_sig": (q_dedup_minhash_sig, _sql_minhash_sig()),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _sql_minhash_lsh()),

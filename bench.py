@@ -78,6 +78,7 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         "t6_envelope",
         "s10_span_extract",
         "dedup_minhash_lsh",
+        "curate_corpus",
         "dedup_simhash",
         "sim_topk_brute",
         "sim_ann_topk",
