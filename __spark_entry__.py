@@ -1155,6 +1155,46 @@ FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
 """
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-LSH pair search over SimHash (band join + bit_count verify)
+    on the planted near-dup corpus."""
+    from ganda_spark.operators.dedup import simhash_near_pairs
+
+    corpus = _near_corpus(spark, sf_dir)
+    hashed = simhash(corpus.withColumn("words", F.split("text", " ")), bits=16)
+    return simhash_near_pairs(
+        hashed.select("doc_id", "simhash"), bits=16, bands=4, max_hamming=2
+    )
+
+
+def _sql_simhash_pairs() -> str:
+    h = _DUCK_MD5INT.format(x="w")
+    terms = " + ".join(
+        f"CASE WHEN list_sum([CASE WHEN ({h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END "
+        f"for w in words]) >= 0 THEN {1 << b} ELSE 0 END"
+        for b in range(16)
+    )
+    return f"""
+WITH {_DUCK_NEAR_CORPUS},
+sh AS (
+  SELECT doc_id, CAST({terms} AS BIGINT) AS simhash
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM corpus)
+),
+bands AS (
+  SELECT b.i AS band, (simhash >> (b.i * 4)) & 15 AS bv, doc_id, simhash
+  FROM sh, generate_series(0, 3) AS b(i)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM bands a JOIN bands b USING (band, bv)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 2
+"""
+
+
 # --- embedding near-dup + similarity search ----------------------------------
 
 _DUCK_COS = """
@@ -1698,6 +1738,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dedup_minhash_sig": (q_dedup_minhash_sig, _sql_minhash_sig()),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _sql_minhash_lsh()),
     "dedup_simhash": (q_dedup_simhash, _sql_simhash()),
+    "dedup_simhash_pairs": (q_dedup_simhash_pairs, _sql_simhash_pairs()),
     "dedup_embedding": (q_dedup_embedding, _SQL_DEDUP_EMB),
     "sim_topk_brute": (q_sim_topk_brute, _SQL_SIM_TOPK),
     "sim_lsh_buckets": (q_sim_lsh_buckets, _sql_lsh_buckets()),

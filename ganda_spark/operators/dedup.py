@@ -201,3 +201,55 @@ def simhash(df: DataFrame, bits: int = 16, words_sql: str = "words") -> DataFram
         term = F.when(2 * cnt >= n, F.lit(1 << b)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return hashed.withColumn("simhash", sim.cast("long")).drop("_hs")
+
+
+def simhash_near_pairs(
+    hashed: DataFrame,
+    id_col: str = "doc_id",
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Hamming-LSH over SimHash values: slice the hash into `bands` equal
+    bit-bands; two docs within Hamming distance < bands must share at least
+    one band verbatim (pigeonhole), so the band equi-join finds every such
+    pair with zero all-pairs work. Verify stage = bit_count(xor) ≤
+    max_hamming on candidates only.
+
+    Input: DataFrame with (id_col, simhash) — the output of simhash().
+    The only shuffle keys on (band index, band value) — same skew posture
+    as the MinHash LSH band join (AQE splits degenerate bands)."""
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    slices = [
+        hashed.select(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * band_bits)
+            .bitwiseAND(F.lit(mask))
+            .alias("bv"),
+            F.col(id_col),
+            F.col("simhash"),
+        )
+        for b in range(bands)
+    ]
+    all_bands = slices[0]
+    for x in slices[1:]:
+        all_bands = all_bands.unionByName(x)
+    a, b_ = all_bands.alias("a"), all_bands.alias("b")
+    cand = (
+        a.join(b_, ["band", "bv"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -131,6 +131,34 @@ def test_ann_is_subset_quality_of_brute_force(spark, sf_dir):
     assert sizes.count() > 1  # corpus split across buckets
 
 
+def test_simhash_near_pairs_equal_brute_force(spark, sf_dir):
+    """Pigeonhole exactness: with 4 bands over 16 bits, every pair within
+    Hamming distance ≤ 3 shares a band — so at max_hamming=2 the LSH pair
+    set must EQUAL the all-pairs brute force, with zero all-pairs work."""
+    from ganda_spark.operators.dedup import simhash_near_pairs
+
+    docs = _docs(spark, sf_dir).limit(100)
+    hashed = simhash(docs.withColumn("words", F.split("text", " ")), bits=16).select(
+        "doc_id", "simhash"
+    ).persist()
+    lsh = simhash_near_pairs(hashed, bits=16, bands=4, max_hamming=2)
+
+    a = hashed.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = hashed.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    brute = (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long"),
+        )
+        .where(F.col("hamming") <= 2)
+        .select("id_a", "id_b", "hamming")
+    )
+    assert lsh.exceptAll(brute).isEmpty() and brute.exceptAll(lsh).isEmpty()
+    hashed.unpersist()
+
+
 def test_ivf_quality_and_probe_pruning(spark, sf_dir):
     """IVF (second scale path): results never beat brute force, probing
     more lists never hurts recall, and the inverted lists actually
