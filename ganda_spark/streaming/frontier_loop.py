@@ -124,7 +124,11 @@ class CrawlDriver:
 
         obs = Observation(f"g{gen}-{uid}-released")
         placed = partition_for_fetch(released, cfg).observe(
-            obs, F.count(F.lit(1)).alias("released_rows")
+            obs,
+            F.count(F.lit(1)).alias("released_rows"),
+            # politeness fan-out metric: distinct hosts this generation
+            # touches (approx — rides the same pass, no extra action)
+            F.approx_count_distinct("host").alias("released_hosts"),
         )
         # persist the WHOLE fetch output: results, errors, redeliver and
         # perma_failed are all derived from it, and without the persist each
@@ -187,6 +191,9 @@ class CrawlDriver:
             "eligible": n_eligible,
             "dedup_dropped": n_eligible - n_unseen,
             "released": _obs_or(obs, "released_rows", released),
+            "released_hosts": _obs_or(
+                obs, "released_hosts", released.select("host").distinct()
+            ),
             "results": n_results,
             "errors": errors.count(),
         }
