@@ -474,6 +474,61 @@ WHERE CAST(regexp_extract(host, 'host-(\\d+)\\.test', 1) AS INT) % 7 = 0
 """
 
 
+def q_robots_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2E robots politeness: per-host synthetic robots.txt TEXT (md5-class
+    derived) → Catalyst-fold parser (operators/robots) → crawl-delay
+    budgets → gate. Exercises the full parse path under oracle check,
+    including a Disallow value containing ':' (the first-colon rule) and a
+    non-star agent section that must be ignored."""
+    from ganda_spark.operators.robots import crawl_delay_budgets, parse_robots_txt
+
+    frontier = seed_frontier(spark, sf_dir)
+    hosts = frontier.select("host").distinct()
+    d = F.expr(
+        "CAST(conv(substr(md5(host), 1, 8), 16, 10) AS BIGINT) % 4"
+    )
+    txt = F.concat(
+        F.lit("User-agent: googlebot\nDisallow: /everything\n\nUser-agent: *\n"),
+        F.when(d == 0, F.lit("Disallow: /order\nCrawl-delay: 2\n"))
+        .when(d == 1, F.lit("Disallow:\nCrawl-delay: 0.5\n"))
+        .when(d == 2, F.lit("Disallow: /redirect?to=http://x\n"))
+        .otherwise(F.lit("Disallow:\n")),
+    )
+    parsed = parse_robots_txt(hosts.withColumn("robots_txt", txt))
+    budgets = crawl_delay_budgets(parsed, window_ms=1000, default_budget=50)
+    _allowed, blocked = robots_gate(frontier, parsed)
+    n_blocked = blocked.groupBy("host").agg(F.count(F.lit(1)).alias("n_blocked"))
+    return (
+        parsed.join(budgets, "host")
+        .join(n_blocked, "host", "left")
+        .select(
+            "host",
+            F.size("disallow_prefixes").cast("long").alias("n_disallow"),
+            F.col("crawl_delay_ms").cast("long").alias("crawl_delay_ms"),
+            F.col("budget").cast("long").alias("budget"),
+            F.coalesce(F.col("n_blocked"), F.lit(0)).cast("long").alias("n_blocked"),
+        )
+    )
+
+
+_SQL_ROBOTS_PIPE = f"""
+WITH {_DUCK_FRONTIER},
+hosts AS (
+  SELECT host, count(*) AS n_rows,
+         CAST(('0x' || substr(md5(host), 1, 8)) AS BIGINT) % 4 AS d
+  FROM frontier GROUP BY host
+)
+SELECT host,
+       CAST(CASE WHEN d IN (0, 2) THEN 1 ELSE 0 END AS BIGINT) AS n_disallow,
+       CAST(CASE d WHEN 0 THEN 2000 WHEN 1 THEN 500 ELSE 0 END AS BIGINT)
+         AS crawl_delay_ms,
+       -- floor(window/delay) capped at default: 1000/2000→0, 1000/500→2
+       CAST(CASE d WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 50 END AS BIGINT) AS budget,
+       CAST(CASE WHEN d = 0 THEN n_rows ELSE 0 END AS BIGINT) AS n_blocked
+FROM hosts
+"""
+
+
 # ---------------------------------------------------------------------------
 # K4: mock fetch through the REAL mapInPandas path (per-partition session)
 # ---------------------------------------------------------------------------
@@ -1722,6 +1777,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "f9_priority_pop": (q_f9_priority_pop, _SQL_F9),
     "f7_host_budget": (q_f7_host_budget, _SQL_F7),
     "f8_robots_gate": (q_f8_robots_gate, _SQL_F8),
+    "robots_pipeline": (q_robots_pipeline, _SQL_ROBOTS_PIPE),
     "k4_mock_fetch": (q_k4_mock_fetch, _SQL_K4),
     "k1_crawl_pipeline": (q_k1_crawl_pipeline, _sql_k1()),
     "s10_span_extract": (q_s10_span_extract, _SQL_S10),
