@@ -868,7 +868,9 @@ def q_f5_throttle_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     throttle = 500  # rows per second
     frontier = seed_frontier(spark, sf_dir)
-    ranked = with_global_rank(frontier, ["seq"], 16, rank_col="_rn")
+    # one-shot query: the rank cache lives for the session (loop callers
+    # pass cache_out and unpersist per generation — politeness.pop_batch)
+    ranked, _rank_cache = with_global_rank(frontier, ["seq"], 16, rank_col="_rn")
     return ranked.select(
         "url",
         F.floor((F.col("_rn") - 1) / throttle).cast("long").alias("wave"),

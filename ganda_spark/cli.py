@@ -151,11 +151,17 @@ def main(argv: list[str] | None = None) -> int:
             # unpartitioned row_number Window.
             from ganda_spark.operators.ranking import with_global_rank
 
-            reqs = with_global_rank(reqs, ["seq"], parts, rank_col="_rn")
+            reqs, rank_cache = with_global_rank(reqs, ["seq"], parts, rank_col="_rn")
             reqs = reqs.withColumn(
                 "_wave",
                 F.floor((F.col("_rn") - 1) / cfg.throttle_per_second).cast("int"),
             ).drop("_rn")
+            # Driver-side wave ids: n/throttle rows collected, one job per
+            # wave. Bounded and fine for THIS surface — the CLI emits waves
+            # sequentially in real time (one second apart) by definition, so
+            # the driver loop IS the semantics. The scale path for 10^10-row
+            # frontiers is CrawlDriver's per-generation release cap
+            # (streaming/frontier_loop.py), which never enumerates waves.
             waves = [
                 r[0] for r in reqs.select("_wave").distinct().orderBy("_wave").collect()
             ]
@@ -165,6 +171,7 @@ def main(argv: list[str] | None = None) -> int:
                 elapsed = time.time() - t0
                 if w != waves[-1] and elapsed < 1.0:
                     time.sleep(1.0 - elapsed)
+            rank_cache.unpersist()
         else:
             fetch_and_emit(reqs)
     except Exception as exc:  # fail-fast parity: parse errors stop the

@@ -47,6 +47,7 @@ def pop_batch(
     cfg: EngineConfig,
     global_budget: int | None = None,
     host_budgets: DataFrame | None = None,
+    cache_out: list[DataFrame] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(released, deferred) for one crawl generation.
 
@@ -58,6 +59,14 @@ def pop_batch(
     host_budgets: optional (host, budget) overrides — e.g. derived from
     robots crawl-delay (operators/robots.crawl_delay_budgets); broadcast
     join, default = cfg.per_host_budget.
+
+    cache_out: when global_budget is set, the scale-safe rank persists an
+    intermediate that must stay cached until released/deferred are
+    materialized. If cache_out is given, the handle is appended to it and
+    the CALLER unpersists after its generation commits (frontier_loop does
+    this). If None, the handle stays cached for the session — acceptable
+    only for one-shot callers (oracle queries); loop callers MUST pass a
+    registry or they leak one cache per generation (VERDICT r2 #1).
     """
     w = Window.partitionBy("host").orderBy(
         F.col("priority").asc(), F.col("seq").asc()
@@ -80,10 +89,21 @@ def pop_batch(
         # task (VERDICT r1 #5).
         from ganda_spark.operators.ranking import with_global_rank
 
-        parts = max(cfg.request_workers, frontier.rdd.getNumPartitions())
-        capped = with_global_rank(
+        # Partition count for the range rank: enough to parallelize, but
+        # CAPPED — request_workers may be up to 2^20 (config.MAX_WORKERS)
+        # and repartitionByRange with ~1M partitions is itself a
+        # scheduler/boundary-sampling hazard (ADVICE r2). 16× the cluster's
+        # default parallelism is plenty for rank skew at any -W.
+        default_par = frontier.sparkSession.sparkContext.defaultParallelism
+        parts = min(
+            max(cfg.request_workers, frontier.rdd.getNumPartitions()),
+            max(default_par * 16, 64),
+        )
+        capped, rank_cache = with_global_rank(
             released, ["priority", "seq"], parts, rank_col="_gk"
         )
+        if cache_out is not None:
+            cache_out.append(rank_cache)
         over = capped.where(F.col("_gk") > global_budget).drop("_gk")
         released = capped.where(F.col("_gk") <= global_budget).drop("_gk")
         deferred = deferred.unionByName(over)

@@ -60,6 +60,7 @@ class CrawlDriver:
         discover: Callable[[DataFrame], DataFrame] | None = None,
         max_redelivery: int = 2,
         fetcher: Callable[[DataFrame, EngineConfig], DataFrame] | None = None,
+        global_budget: int | None = None,
     ):
         """discover: results DataFrame → new frontier rows
         (seq, url, host, priority, context) — e.g. extract_urls over span
@@ -67,7 +68,14 @@ class CrawlDriver:
 
         fetcher: the fetch stage (frontier, cfg) → fetched DataFrame;
         defaults to the deterministic mock. Pass
-        operators.http_fetch.http_fetch_udf for a live crawl."""
+        operators.http_fetch.http_fetch_udf for a live crawl.
+
+        global_budget: optional per-generation release cap across ALL hosts
+        (F5 at frontier scale) — the scale-safe rank inside pop_batch
+        persists one intermediate per generation; this loop owns those
+        handles and unpersists them after each generation commits, so the
+        executor cache stays flat over arbitrarily many generations
+        (VERDICT r2 #1)."""
         self.spark = spark
         self.cfg = cfg
         self.store = CheckpointStore(checkpoint_dir)
@@ -75,6 +83,7 @@ class CrawlDriver:
         self.discover = discover
         self.max_redelivery = max_redelivery
         self.fetcher = fetcher or mock_fetch_udf
+        self.global_budget = global_budget
 
     # -- resume -------------------------------------------------------------
 
@@ -120,7 +129,14 @@ class CrawlDriver:
         else:
             allowed = unseen
             budgets = None
-        released, deferred = pop_batch(allowed, cfg, host_budgets=budgets)
+        gen_caches: list[DataFrame] = []
+        released, deferred = pop_batch(
+            allowed,
+            cfg,
+            global_budget=self.global_budget,
+            host_budgets=budgets,
+            cache_out=gen_caches,
+        )
 
         obs = Observation(f"g{gen}-{uid}-released")
         placed = partition_for_fetch(released, cfg).observe(
@@ -211,6 +227,8 @@ class CrawlDriver:
         committed_frontier = self.store.read(self.spark, gen, "frontier")
         committed_seen = self.store.read(self.spark, gen, "seen")
         fetched.unpersist()
+        for handle in gen_caches:  # scale-safe-rank intermediates: release
+            handle.unpersist()  # after the generation's writes committed
         return committed_frontier, committed_seen, metrics
 
     # -- full loop -------------------------------------------------------------

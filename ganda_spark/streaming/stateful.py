@@ -40,18 +40,22 @@ def stateful_host_budget(stream: DataFrame, budget: int) -> DataFrame:
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (used,) = state.get if state.exists else (0,)
-        for pdf in pdfs:
-            if used >= budget:
-                continue
-            take = pdf.sort_values(["priority", "seq"]).head(budget - used)
+        # applyInPandasWithState delivers one GROUP as MULTIPLE Arrow chunks
+        # (~10k rows each); sorting per-chunk would let a worse row from an
+        # early chunk beat a better (priority, seq) row from a later chunk
+        # (ADVICE r2). Materialize the whole group first — a group here is
+        # one host's rows in ONE micro-batch, bounded by the upstream
+        # trigger size, not the frontier — then sort ONCE and take the head.
+        chunks = [pdf for pdf in pdfs]
+        if used < budget and chunks:
+            group = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+            take = group.sort_values(["priority", "seq"]).head(budget - used)
             n = len(take)
-            if n == 0:
-                continue
-            take = take.assign(
-                released_rank=range(used + 1, used + n + 1)
-            )[["seq", "url", "host", "priority", "released_rank"]]
-            used += n
-            yield take
+            if n > 0:
+                yield take.assign(
+                    released_rank=range(used + 1, used + n + 1)
+                )[["seq", "url", "host", "priority", "released_rank"]]
+                used += n
         state.update((used,))
 
     return (

@@ -128,6 +128,31 @@ def test_live_fetch_executes_once_per_generation(spark, ckpt):
         assert len(hits) == 40 and not dupes, dupes
 
 
+def test_global_budget_cache_stays_flat(spark, sf_dir, ckpt):
+    """VERDICT r2 #1: with global_budget set, each generation's scale-safe
+    rank persists one intermediate. The loop must unpersist it after the
+    generation commits — the JVM persistent-RDD registry must NOT grow
+    generation-over-generation across a 10-generation run."""
+
+    def persistent_rdd_count() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    cfg = EngineConfig(retries=0, request_workers=4, per_host_budget=3)
+    driver = CrawlDriver(spark, cfg, ckpt, global_budget=20)
+    gen, frontier, seen = driver.load_state(_seed(spark, sf_dir, 600))
+    baseline = persistent_rdd_count()
+    counts = []
+    for g in range(gen, gen + 10):
+        if frontier.isEmpty():
+            break
+        frontier, seen, m = driver.run_generation(g, frontier, seen)
+        assert m["released"] <= 20  # the global cap actually binds
+        counts.append(persistent_rdd_count())
+    assert len(counts) >= 5, "workload drained too fast to exercise the loop"
+    # every generation returns the registry to the pre-loop level
+    assert all(c <= baseline for c in counts), (baseline, counts)
+
+
 def test_discovery_expands_frontier(spark, sf_dir, ckpt):
     """Fetched pages yield new URLs (span extraction model) that get
     crawled in later generations exactly once."""

@@ -61,12 +61,13 @@ def test_global_rank_matches_reference_and_is_scale_safe(spark, sf_dir):
     )
 
     frontier = seed_frontier(spark, sf_dir)
-    ranked = with_global_rank(frontier, ["priority", "seq"], 8, rank_col="rk")
+    ranked, handle = with_global_rank(frontier, ["priority", "seq"], 8, rank_col="rk")
     assert_no_global_window(ranked)
 
     pdf = ranked.select("seq", "priority", "rk").toPandas()
     ref = pdf.sort_values(["priority", "seq"]).reset_index(drop=True)
     assert (ref["rk"].to_numpy() == range(1, len(ref) + 1)).all()
+    handle.unpersist()
 
 
 def test_global_window_guard_trips_on_bad_pattern(spark):

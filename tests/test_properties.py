@@ -129,8 +129,9 @@ def test_global_rank_equals_single_task_reference(rows, parts):
 
     spark = _get_spark()
     df = spark.createDataFrame(list(rows), "priority int, seq long")
-    ranked = with_global_rank(df.repartition(3), ["priority", "seq"], parts, "rk")
+    ranked, handle = with_global_rank(df.repartition(3), ["priority", "seq"], parts, "rk")
     got = {r["seq"]: r["rk"] for r in ranked.collect()}
+    handle.unpersist()
     expect = {
         s: i + 1
         for i, (_, s) in enumerate(sorted(rows, key=lambda t: (t[0], t[1])))

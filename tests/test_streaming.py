@@ -183,6 +183,58 @@ def test_stateful_host_budget_across_batches(spark, tmp_path):
     assert partial.where((F.col("seq") < 100) | (F.col("seq") >= 200)).count() == 0
 
 
+def test_stateful_budget_ordering_across_arrow_chunks(spark, tmp_path):
+    """ADVICE r2: applyInPandasWithState delivers one group as MULTIPLE
+    Arrow chunks; the best (priority, seq) rows may sit in a LATER chunk.
+    Per-chunk sort+truncate would admit worse rows from early chunks. With
+    an 8-row Arrow batch, 40 priority-9 rows written before 10 priority-0
+    rows, budget 10 must release exactly the ten priority-0 rows."""
+    import json
+
+    from ganda_spark.streaming.stateful import stateful_host_budget
+
+    in_dir = str(tmp_path / "cin")
+    os.makedirs(in_dir)
+    with open(os.path.join(in_dir, "b0.json"), "w") as f:
+        for i in range(40):
+            f.write(json.dumps({
+                "seq": i, "url": f"http://h.test/{i}",
+                "host": "h.test", "priority": 9,
+            }) + "\n")
+        for i in range(40, 50):
+            f.write(json.dumps({
+                "seq": i, "url": f"http://h.test/{i}",
+                "host": "h.test", "priority": 0,
+            }) + "\n")
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8")
+    try:
+        stream = (
+            spark.readStream
+            .schema("seq long, url string, host string, priority int")
+            .json(in_dir)
+        )
+        released = stateful_host_budget(stream, budget=10)
+        q = (
+            released.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(tmp_path / "cout"))
+            .option("checkpointLocation", str(tmp_path / "cckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    out = spark.read.parquet(str(tmp_path / "cout")).collect()
+    assert len(out) == 10
+    assert all(r["priority"] == 0 for r in out), sorted(
+        (r["priority"], r["seq"]) for r in out
+    )
+    assert sorted(r["seq"] for r in out) == list(range(40, 50))
+
+
 def test_streaming_crawl_exactly_once(spark, tmp_path):
     in_dir = str(tmp_path / "in")
     out_dir = str(tmp_path / "out")
