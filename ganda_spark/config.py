@@ -23,6 +23,9 @@ VALID_METHODS = (
 MAX_WORKERS = 1 << 20  # reference: cli/worker_flag.go:29-39 (-W in [1, 2^20])
 RETRY_DELAY_CAP_MS = 30_000  # reference: requests/requests.go:117-121
 MAX_CONNS_PER_HOST = 50  # reference: requests/requests.go:29 — politeness ceiling
+MAX_IDLE_CONNS = 500  # reference: requests/requests.go:28 (MaxIdleConns) — GLOBAL idle cap
+IDLE_CONN_TIMEOUT_S = 90.0  # reference: requests/requests.go:31 (IdleConnTimeout)
+MAX_HOST_POOLS = 1024  # bound the per-host pool registry for million-host crawls
 MAX_LINE_BYTES = 1 << 20  # reference: parser/parser.go:105 (bufio 1 MB scan buffer)
 
 

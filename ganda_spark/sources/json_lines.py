@@ -86,12 +86,25 @@ def parse_json_lines(lines: DataFrame, cfg: EngineConfig) -> DataFrame:
         ),
     ).otherwise(F.col("value"))
 
+    # Typed view of each field: from_json's STRING fields lose the
+    # distinction "was this a JSON string or an object/number?" — and a
+    # line-wide regex for `"body"\s*:\s*"` false-positives on the substring
+    # appearing inside ANY other field (context {"body":"x"}, a header
+    # value, a URL — ADVICE r2). VARIANT answers the question exactly:
+    # schema_of_variant(try_variant_get($.field)) == 'STRING' iff the
+    # TOP-LEVEL field itself is a JSON string. JVM-side, one parse.
     parsed = lines.select(
         F.monotonically_increasing_id().alias("seq"),
         checked_line.alias("value"),
         F.from_json(checked_line, REQUEST_SPEC_DDL).alias("r"),
+        F.try_parse_json(checked_line).alias("_v"),
         F.get_json_object(checked_line, "$.context").alias("_ctx_extracted"),
     )
+
+    def _field_is_json_string(path: str) -> Column:
+        vf = F.try_variant_get(F.col("_v"), path, "variant")
+        return F.schema_of_variant(vf) == F.lit("STRING")
+
     # get_json_object unquotes scalar strings; recover raw JSON for strings
     # by re-quoting when the spec's context was a JSON string.
     from ganda_spark.functions.transforms import go_json_escape
@@ -100,7 +113,7 @@ def parse_json_lines(lines: DataFrame, cfg: EngineConfig) -> DataFrame:
         F.col("_ctx_extracted").isNull(), F.lit(None).cast("string")
     ).otherwise(
         F.when(
-            F.col("value").rlike('"context"\\s*:\\s*"'),
+            _field_is_json_string("$.context"),
             F.concat(F.lit('"'), go_json_escape(F.col("_ctx_extracted")), F.lit('"')),
         ).otherwise(F.col("_ctx_extracted"))
     )
@@ -140,9 +153,11 @@ def parse_json_lines(lines: DataFrame, cfg: EngineConfig) -> DataFrame:
             F.col("r.body"),
             F.col("r.bodyType"),
             # raw JSON text of the body field for bodyType json/'': re-quote
-            # when the spec's body was a JSON string (same trick as context)
+            # ONLY when the top-level body field itself is a JSON string
+            # (variant type test — a substring match would false-positive on
+            # `"body":"` inside context/header/url values, ADVICE r2)
             raw=F.when(
-                F.col("value").rlike('"body"\\s*:\\s*"'),
+                _field_is_json_string("$.body"),
                 F.concat(
                     F.lit('"'), go_json_escape(F.col("r.body")), F.lit('"')
                 ),

@@ -196,6 +196,116 @@ def test_latency_bound_scaling_model(spark):
         assert t_w8 < 4.0       # and in the right ballpark
 
 
+def test_idle_connections_evicted_after_timeout(echo):
+    """Idle-timeout lifecycle (requests/requests.go:31, IdleConnTimeout
+    90 s): pooled conns idle past the timeout are closed by the sweep and
+    by the lazy checkout path."""
+    s = HttpSession(EngineConfig(retries=0))
+    try:
+        for i in range(3):
+            status, _, _, err, _ = s.fetch_one(echo.url_for(f"idle/{i}"), "GET", {})
+            assert status == 200 and err is None
+        assert s.n_open_connections() == 1
+        # nothing stale yet at the real 90 s timeout
+        assert s.sweep_idle() == 0
+        assert s.n_open_connections() == 1
+        # shrink the timeout: the conn is now stale → evicted
+        s.idle_timeout_s = 0.0
+        import time as _t
+
+        _t.sleep(0.01)
+        assert s.sweep_idle() == 1
+        assert s.n_open_connections() == 0
+        assert s._n_idle == 0
+        # lazy path too: a stale conn found at checkout is closed, not reused
+        status, _, _, err, _ = s.fetch_one(echo.url_for("idle/x"), "GET", {})
+        assert status == 200 and err is None
+        _t.sleep(0.01)
+        status, _, _, err, _ = s.fetch_one(echo.url_for("idle/y"), "GET", {})
+        assert status == 200 and err is None  # redial, not a poisoned reuse
+    finally:
+        s.close()
+
+
+def test_global_idle_cap_bounds_open_connections(spark):
+    """MaxIdleConns (requests/requests.go:28): with the global idle cap
+    shrunk to 3, fetching 8 DIFFERENT hosts (ports) keeps ≤3 pooled conns —
+    the rest are closed at checkin."""
+    servers = [Echoserver() for _ in range(8)]
+    try:
+        for srv in servers:
+            srv.__enter__()
+        s = HttpSession(EngineConfig(retries=0))
+        s.max_idle_conns = 3
+        try:
+            for i, srv in enumerate(servers):
+                status, _, _, err, _ = s.fetch_one(srv.url_for(f"cap/{i}"), "GET", {})
+                assert status == 200 and err is None
+            assert s.n_open_connections() <= 3
+            assert s._n_idle <= 3
+        finally:
+            s.close()
+    finally:
+        for srv in servers:
+            srv.__exit__(None, None, None)
+
+
+def test_host_pool_registry_is_bounded(echo):
+    """Million-host crawls must not accumulate per-host pool objects
+    (VERDICT r2 missing #2): with the registry cap shrunk to 8, touching 30
+    distinct netlocs keeps ≤8 pools (LRU, fully-idle-only eviction)."""
+    s = HttpSession(EngineConfig(retries=0, connect_timeout_millis=200))
+    s.max_host_pools = 8
+    try:
+        for i in range(30):
+            # distinct netloc per request; only the real echoserver answers,
+            # the rest fail fast — pool registry growth is what's under test
+            url = echo.url_for(f"h/{i}") if i % 3 == 0 else f"http://127.0.0.1:{20000+i}/x"
+            s.fetch_one(url, "GET", {})
+            assert s.n_host_pools() <= 8
+    finally:
+        s.close()
+
+
+def test_stale_pooled_connection_redials_without_charging_retry(echo):
+    """ADVICE r2: a keep-alive conn the server closed while pooled must be
+    redialed transparently within the SAME attempt — Go's transport never
+    charges a user retry for a stale pooled connection. Pin with a poisoned
+    fake conn planted in the pool: retries=0, yet the fetch succeeds with
+    attempts=1 and no backoff."""
+    import urllib.parse
+
+    class PoisonedConn:
+        def request(self, *a, **kw):
+            raise ConnectionResetError("server closed idle keep-alive conn")
+
+        def close(self):
+            pass
+
+    s = HttpSession(EngineConfig(retries=0))
+    try:
+        netloc = urllib.parse.urlsplit(echo.url_for("x")).netloc
+        pool = s._pool("http", netloc)
+        # plant the poisoned conn as the freshest pooled token
+        tok = pool.q.get_nowait()
+        assert tok is None
+        import time as _t
+
+        pool.q.put((PoisonedConn(), _t.monotonic()))
+        with s._idle_lock:
+            s._n_idle += 1
+
+        status, body, attempts, err, _ = s.fetch_one(echo.url_for("stale/1"), "GET", {})
+        assert status == 200 and err is None
+        assert attempts == 1  # no user retry consumed
+        assert json.loads(body)["uri"] == "/stale/1"
+        # a FRESH dial that fails must still surface as a (retryable) error
+        status, _, attempts, err, _ = s.fetch_one("http://127.0.0.1:9/none", "GET", {})
+        assert err is not None and status == 0
+    finally:
+        s.close()
+
+
 def test_per_line_method_and_body(spark, echo):
     """POST with body through the real client (request construct S7)."""
     cfg = EngineConfig(retries=0, request_method="POST")

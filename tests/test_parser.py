@@ -191,6 +191,47 @@ def test_parse_json_lines_body_end_to_end(spark):
     assert rows["http://a.test/5"] is None
 
 
+def test_body_string_detection_is_field_anchored(spark):
+    """ADVICE r2: the scalar-string-body test must anchor to the TOP-LEVEL
+    body field. A `"body":"` substring inside context/headers/url must not
+    wrap an object/number body in quotes (reference parseBody sends
+    json.RawMessage verbatim, parser/parser.go:167-191)."""
+    cfg = EngineConfig()
+    df = parse_json_lines(
+        _lines_df(
+            spark,
+            [
+                # context contains the trap substring; body is an OBJECT
+                '{"url": "http://a.test/1", "context": {"body": "x"}, '
+                '"body": {"k": 1}, "bodyType": "json"}',
+                # header value contains the trap; body is a NUMBER
+                '{"url": "http://a.test/2", "headers": {"X-Trap": "{\\"body\\":\\"y\\"}"}, '
+                '"body": 42, "bodyType": "json"}',
+                # url contains the trap; no bodyType (defaults to json)
+                '{"url": "http://a.test/?q=%7B%22body%22%3A%22z%22%7D&raw={\\"body\\":\\"z\\"}", '
+                '"body": [1, 2]}',
+                # trap in context AND the body IS a string — still quoted
+                '{"url": "http://a.test/4", "context": {"body": "x"}, '
+                '"body": "real", "bodyType": "json"}',
+                # context is a plain STRING while body is an object: the
+                # context must round-trip re-quoted, the body verbatim
+                '{"url": "http://a.test/5", "context": "has \\"body\\": \\"t\\" inside", '
+                '"body": {"n": true}}',
+            ],
+        ),
+        cfg,
+    )
+    rows = {r["url"]: r for r in df.collect()}
+    assert rows["http://a.test/1"]["body"] == '{"k":1}'
+    assert rows["http://a.test/2"]["body"] == "42"
+    arr = [r for u, r in rows.items() if u.startswith("http://a.test/?")][0]
+    assert arr["body"] == "[1,2]"
+    assert rows["http://a.test/4"]["body"] == '"real"'
+    r5 = rows["http://a.test/5"]
+    assert r5["body"] == '{"n":true}'
+    assert r5["context_json"] == '"has \\"body\\": \\"t\\" inside"'
+
+
 def test_max_line_guard(spark):
     # parser/parser.go:105 — a >1 MB line fails the stream fast
     from ganda_spark.sources.url_lines import parse_url_lines
