@@ -85,6 +85,29 @@ def test_jaccard_verify_degenerate_bands_no_broadcast(spark, sf_dir):
     docs.unpersist()
 
 
+def test_candidate_pair_bound_dominates_actual_pairs(spark, sf_dir):
+    """The bucket-histogram bound (r3 broadcast gate) must dominate the
+    true distinct pair count on real LSH bands, and explode appropriately
+    on degenerate one-bucket bands — all without a pair self-join."""
+    from ganda_spark.operators.dedup import candidate_pair_bound
+
+    docs = with_shingles(_docs(spark, sf_dir).limit(200)).persist()
+    banded = lsh_band_hashes(minhash_signatures(docs, k=8), k=8, rows_per_band=2)
+    ub = candidate_pair_bound(banded, k=8, rows_per_band=2)
+    actual = lsh_candidate_pairs(banded, k=8, rows_per_band=2).count()
+    assert ub >= actual
+    # degenerate: constant band hashes → every doc in one bucket per band
+    degen = banded
+    for b in range(4):
+        degen = degen.withColumn(f"band_{b}", F.lit("same"))
+    n = docs.count()
+    ub_degen = candidate_pair_bound(degen, k=8, rows_per_band=2)
+    assert ub_degen == 4 * n * (n - 1) // 2  # 4 bands × C(n,2)
+    # the gate would correctly refuse to broadcast at a tight bound
+    assert ub_degen > 1000
+    docs.unpersist()
+
+
 def test_simhash_close_for_near_dups_far_for_random(spark, sf_dir):
     docs = _docs(spark, sf_dir).limit(100)
     words = F.split("text", " ")
