@@ -35,7 +35,7 @@ def _materialize(df) -> int:
     return -1
 
 
-def _bench_queries(spark, sf_dir: str) -> tuple[dict, dict]:
+def _bench_queries(spark, sf_dir: str) -> tuple[dict, dict, dict]:
     """Returns ({query: seconds}, {name: rows_or_rate}). Headline set:
     the full crawl pipeline (UDF fetch path), the dedup stages, the
     scheduler pop, and the heaviest training-data ops."""
@@ -90,8 +90,42 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         _materialize(fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
+    # 4. adversarial one-bucket LSH bands (VERDICT r2 next #9): every doc
+    # lands in ONE bucket per band → the pair-count bound (~8M) exceeds the
+    # broadcast cap, so jaccard_verify MUST take the shuffle fallback and
+    # complete within memory. Reported under `adversarial`, NOT summed into
+    # the headline value: it is a deliberate worst-case stress (2M distinct
+    # pairs, ~6 GB of shingle arrays through a shuffle join — ~60 s), and
+    # folding it into the total would make round-over-round suite
+    # comparisons meaningless.
+    from ganda_spark.operators.dedup import (
+        candidate_pair_bound,
+        jaccard_verify,
+        lsh_band_hashes,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        with_shingles,
+    )
+
+    t0 = time.time()
+    docs = with_shingles(entry._near_corpus(spark, sf_dir).limit(2000)).persist()
+    banded = lsh_band_hashes(minhash_signatures(docs, k=8), k=8, rows_per_band=2)
+    for b in range(4):
+        banded = banded.withColumn(f"band_{b}", F.lit("degen"))
+    banded = banded.persist()
+    ub = candidate_pair_bound(banded, k=8, rows_per_band=2)
+    assert ub > 5_000_000, f"degenerate bands not degenerate enough: ub={ub}"
+    pairs = lsh_candidate_pairs(banded, k=8, rows_per_band=2)
+    _materialize(jaccard_verify(pairs, docs, broadcast_pairs=False))
+    adversarial = {
+        "dedup_lsh_degenerate": round(time.time() - t0, 3),
+        "degenerate_pair_bound": ub,
+    }
+    docs.unpersist()
+    banded.unpersist()
+
     frontier.unpersist()
-    return timings, stats
+    return timings, stats, adversarial
 
 
 def run_single(cores: int, sf_dir: str) -> dict:
@@ -99,7 +133,7 @@ def run_single(cores: int, sf_dir: str) -> dict:
 
     spark = get_spark("ganda-bench", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
-    timings, stats = _bench_queries(spark, sf_dir)
+    timings, stats, adversarial = _bench_queries(spark, sf_dir)
     total = round(sum(timings.values()), 3)
     return {
         "metric": "ganda-spark headline suite wall time",
@@ -109,6 +143,9 @@ def run_single(cores: int, sf_dir: str) -> dict:
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "cores": cores,
         "throughput": stats,
+        # worst-case stress entries — measured every run, excluded from the
+        # headline sum (see _bench_queries step 4)
+        "adversarial": adversarial,
     }
 
 

@@ -42,6 +42,76 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+# --- statement builders (pure; unit-testable without the runtime jar) -------
+#
+# The commit protocol is a fixed statement sequence per generation; keeping
+# the SQL in builders lets the contract tests parse every statement with
+# Spark's own parser and replay the sequence against a stub executor even
+# though the sandbox cannot load iceberg-spark-runtime (VERDICT r2 next #4).
+
+
+def create_marker_table_sql(ns: str) -> str:
+    return (
+        f"CREATE TABLE IF NOT EXISTS {ns}.generations "
+        "(generation INT, committed_at TIMESTAMP) USING iceberg"
+    )
+
+
+def create_seen_table_sql(ns: str) -> str:
+    return (
+        f"CREATE TABLE IF NOT EXISTS {ns}.seen "
+        "(url STRING, _batch_id INT, _partition_id INT) USING iceberg"
+    )
+
+
+def seen_merge_sql(ns: str, delta_view: str = "_seen_delta") -> str:
+    """MERGE = idempotent on re-commit after a crash: an url already merged
+    by the crashed attempt is simply not matched again."""
+    return (
+        f"MERGE INTO {ns}.seen t USING {delta_view} s "
+        "ON t.url = s.url WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+def clear_generation_sql(ns: str, table: str, gen: int) -> str:
+    """Re-commit idempotence for append tables: drop the crashed attempt's
+    rows before appending this attempt's."""
+    return f"DELETE FROM {ns}.{table} WHERE _batch_id = {gen}"
+
+
+def clear_marker_sql(ns: str, gen: int) -> str:
+    return f"DELETE FROM {ns}.generations WHERE generation = {gen}"
+
+
+def insert_marker_sql(ns: str, gen: int) -> str:
+    return (
+        f"INSERT INTO {ns}.generations VALUES ({gen}, current_timestamp())"
+    )
+
+
+def commit_statement_sequence(
+    ns: str, gen: int, table_names: list[str]
+) -> list[tuple[str, str]]:
+    """The ordered (kind, sql) protocol one commit() executes — data tables
+    first, the generation marker LAST (the atomic commit point: a crash
+    anywhere earlier leaves the marker absent and resume re-runs the
+    generation; every earlier statement is re-commit-idempotent).
+    Append-table writes go through the DataFrame writeTo API, represented
+    here as ('append', table) actions between their clear and the marker."""
+    stmts: list[tuple[str, str]] = []
+    for name in table_names:
+        if name == "seen":
+            stmts.append(("ddl", create_seen_table_sql(ns)))
+            stmts.append(("merge", seen_merge_sql(ns)))
+        else:
+            if gen > 0:
+                stmts.append(("delete", clear_generation_sql(ns, name, gen)))
+            stmts.append(("append", f"{ns}.{name}"))
+    stmts.append(("delete", clear_marker_sql(ns, gen)))
+    stmts.append(("insert", insert_marker_sql(ns, gen)))
+    return stmts
+
+
 class IcebergCheckpointStore:
     """Same duck-typed contract as streaming.checkpoint.CheckpointStore."""
 
@@ -51,10 +121,7 @@ class IcebergCheckpointStore:
         self.spark = spark
         self.ns = f"{catalog}.{namespace}"
         spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.ns}")
-        spark.sql(
-            f"CREATE TABLE IF NOT EXISTS {self.ns}.generations "
-            "(generation INT, committed_at TIMESTAMP) USING iceberg"
-        )
+        spark.sql(create_marker_table_sql(self.ns))
 
     def _table(self, name: str) -> str:
         return f"{self.ns}.{name}"
@@ -66,15 +133,9 @@ class IcebergCheckpointStore:
             )
             if name == "seen":
                 out.createOrReplaceTempView("_seen_delta")
-                self.spark.sql(
-                    f"CREATE TABLE IF NOT EXISTS {self._table('seen')} "
-                    "(url STRING, _batch_id INT, _partition_id INT) USING iceberg"
-                )
+                self.spark.sql(create_seen_table_sql(self.ns))
                 # MERGE = idempotent on re-commit after a crash
-                self.spark.sql(
-                    f"MERGE INTO {self._table('seen')} t USING _seen_delta s "
-                    "ON t.url = s.url WHEN NOT MATCHED THEN INSERT *"
-                )
+                self.spark.sql(seen_merge_sql(self.ns))
             else:
                 if gen == 0:
                     out.writeTo(self._table(name)).createOrReplace()
@@ -82,19 +143,12 @@ class IcebergCheckpointStore:
                     # crash-then-recommit idempotence: a plain append would
                     # double rows that read() (_batch_id == gen) returns
                     # twice — clear this generation's rows first
-                    self.spark.sql(
-                        f"DELETE FROM {self._table(name)} WHERE _batch_id = {gen}"
-                    )
+                    self.spark.sql(clear_generation_sql(self.ns, name, gen))
                     out.writeTo(self._table(name)).append()
         # commit point: the generation marker (snapshot-isolated);
         # delete-then-insert keeps re-commits single-row
-        self.spark.sql(
-            f"DELETE FROM {self.ns}.generations WHERE generation = {gen}"
-        )
-        self.spark.sql(
-            f"INSERT INTO {self.ns}.generations "
-            f"VALUES ({gen}, current_timestamp())"
-        )
+        self.spark.sql(clear_marker_sql(self.ns, gen))
+        self.spark.sql(insert_marker_sql(self.ns, gen))
 
     def committed_generations(self) -> list[int]:
         rows = self.spark.sql(
