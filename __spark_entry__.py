@@ -25,7 +25,6 @@ from ganda_spark import spec
 from ganda_spark.config import EngineConfig
 from ganda_spark.functions.transforms import (
     body_output,
-    go_json_escape,
     json_envelope,
     sanitize_filename,
     shard_dir,

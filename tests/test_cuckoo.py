@@ -5,7 +5,6 @@ from __future__ import annotations
 
 import numpy as np
 import pyspark.sql.functions as F
-import pytest
 
 from ganda_spark.operators.cuckoo import CuckooFilter, build_cuckoo
 from ganda_spark.sources.frontier import seed_frontier

@@ -3,7 +3,6 @@ cross-generation retry redelivery."""
 
 from __future__ import annotations
 
-import os
 
 import pyspark.sql.functions as F
 import pytest

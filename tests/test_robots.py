@@ -2,7 +2,6 @@
 
 from __future__ import annotations
 
-import pyspark.sql.functions as F
 
 from ganda_spark.config import EngineConfig
 from ganda_spark.operators.politeness import pop_batch
