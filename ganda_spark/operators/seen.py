@@ -135,6 +135,53 @@ def build_bloom_tree(
     )
 
 
+def filter_unseen_hybrid(
+    frontier: DataFrame, seen_urls: DataFrame, bloom: BloomFilter
+) -> DataFrame:
+    """The 10^10-scale composition (PLANS.md f10 row): the broadcast bloom
+    SPLITS the frontier —
+
+      * bloom-negative rows are DEFINITELY unseen (no false negatives) and
+        skip the anti-join shuffle entirely; on a growing crawl this is the
+        bulk of every generation,
+      * bloom-positive rows (truly seen + false-positive rate ε) are the
+        only rows that shuffle against the seen table, which recovers the
+        false positives exactly.
+
+    Equal to filter_unseen_exact by construction — the exact join sees
+    every row the bloom could possibly be wrong about. The two branches
+    re-run the (map-only, deterministic) tag pass once each; at scale two
+    scans are far cheaper than shuffling the full frontier, and loop
+    callers read the frontier from committed parquet anyway."""
+    spark = frontier.sparkSession
+    bc = spark.sparkContext.broadcast((bloom.n_bits, bloom.n_hashes, bloom.bits))
+    with_h = frontier.withColumn("url_h", url_hash64(F.col("url")))
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(with_h.schema.fields)
+        + [T.StructField("_maybe_seen", T.BooleanType(), False)]
+    )
+
+    def tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_bits, n_hashes, bits = bc.value
+        local = BloomFilter(n_bits, n_hashes, bits)
+        for pdf in batches:
+            if len(pdf):
+                flag = local.might_contain(pdf["url_h"].to_numpy(dtype=np.int64))
+            else:
+                flag = np.zeros(0, dtype=bool)
+            yield pdf.assign(_maybe_seen=flag)
+
+    tagged = with_h.mapInPandas(tag, out_schema)
+    sure_unseen = tagged.where(~F.col("_maybe_seen")).drop("url_h", "_maybe_seen")
+    maybe = tagged.where(F.col("_maybe_seen")).drop("_maybe_seen")
+    seen_keys = seen_urls.select(url_hash64(F.col("url")).alias("url_h")).distinct()
+    recovered = maybe.join(seen_keys, "url_h", "left_anti").drop("url_h")
+    return sure_unseen.unionByName(recovered)
+
+
 def filter_unseen_bloom(frontier: DataFrame, bloom: BloomFilter) -> DataFrame:
     """Rows whose url is definitely unseen (bloom negative). False-positive
     rows are withheld this generation and recovered by the exact confirm in

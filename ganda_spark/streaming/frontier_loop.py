@@ -61,6 +61,7 @@ class CrawlDriver:
         max_redelivery: int = 2,
         fetcher: Callable[[DataFrame, EngineConfig], DataFrame] | None = None,
         global_budget: int | None = None,
+        seen_strategy: str = "exact",
     ):
         """discover: results DataFrame → new frontier rows
         (seq, url, host, priority, context) — e.g. extract_urls over span
@@ -75,7 +76,16 @@ class CrawlDriver:
         persists one intermediate per generation; this loop owns those
         handles and unpersists them after each generation commits, so the
         executor cache stays flat over arbitrarily many generations
-        (VERDICT r2 #1)."""
+        (VERDICT r2 #1).
+
+        seen_strategy: 'exact' (anti-join the full eligible frontier — the
+        correctness oracle) or 'hybrid' (the 10^10 path: a driver-held
+        Bloom filter, grown per generation via a treeAggregate over just
+        that generation's newly-seen delta, splits the frontier so only
+        bloom-positive rows shuffle against the seen table; result is
+        identical to 'exact' by construction — see
+        operators.seen.filter_unseen_hybrid). On resume the bloom is
+        rebuilt once from the committed seen table."""
         self.spark = spark
         self.cfg = cfg
         self.store = CheckpointStore(checkpoint_dir)
@@ -84,6 +94,10 @@ class CrawlDriver:
         self.max_redelivery = max_redelivery
         self.fetcher = fetcher or mock_fetch_udf
         self.global_budget = global_budget
+        if seen_strategy not in ("exact", "hybrid"):
+            raise ValueError(f"unknown seen_strategy {seen_strategy!r}")
+        self.seen_strategy = seen_strategy
+        self._bloom = None  # lazily built/grown on the hybrid path
 
     # -- resume -------------------------------------------------------------
 
@@ -96,6 +110,15 @@ class CrawlDriver:
             return 0, _with_retry_cols(seed), empty_seen
         frontier = self.store.read(self.spark, snap.generation, "frontier")
         seen = self.store.read(self.spark, snap.generation, "seen")
+        if self.seen_strategy == "hybrid":
+            # resume: rebuild the bloom ONCE from the committed seen table
+            # (treeAggregate — sqrt(P) driver ingress, operators/seen.py)
+            from ganda_spark.operators.seen import build_bloom_tree
+
+            self._bloom = build_bloom_tree(
+                seen, n_bits=self.cfg.seen_bloom_bits,
+                n_hashes=self.cfg.seen_bloom_hashes,
+            )
         return snap.generation + 1, frontier, seen
 
     # -- one generation -------------------------------------------------------
@@ -115,7 +138,16 @@ class CrawlDriver:
         uid = next(_OBS_COUNTER)
         obs_eligible = Observation(f"g{gen}-{uid}-eligible")
         eligible = eligible.observe(obs_eligible, F.count(F.lit(1)).alias("n"))
-        unseen = filter_unseen_exact(eligible, seen)
+        if self.seen_strategy == "hybrid":
+            from ganda_spark.operators.seen import BloomFilter, filter_unseen_hybrid
+
+            if self._bloom is None:
+                self._bloom = BloomFilter(
+                    cfg.seen_bloom_bits, cfg.seen_bloom_hashes
+                )
+            unseen = filter_unseen_hybrid(eligible, seen, self._bloom)
+        else:
+            unseen = filter_unseen_exact(eligible, seen)
         obs_unseen = Observation(f"g{gen}-{uid}-unseen")
         unseen = unseen.observe(obs_unseen, F.count(F.lit(1)).alias("n"))
         if self.robots is not None:
@@ -226,6 +258,17 @@ class CrawlDriver:
         # read back the committed state: truncates lineage, keeps plans flat
         committed_frontier = self.store.read(self.spark, gen, "frontier")
         committed_seen = self.store.read(self.spark, gen, "seen")
+        if self.seen_strategy == "hybrid":
+            # grow the bloom by THIS generation's delta only — a
+            # treeAggregate over newly_seen (released-count rows), never a
+            # rescan of the accumulated seen table
+            from ganda_spark.operators.seen import build_bloom_tree
+
+            delta = build_bloom_tree(
+                newly_seen, n_bits=self.cfg.seen_bloom_bits,
+                n_hashes=self.cfg.seen_bloom_hashes,
+            )
+            self._bloom = self._bloom.union(delta)
         fetched.unpersist()
         for handle in gen_caches:  # scale-safe-rank intermediates: release
             handle.unpersist()  # after the generation's writes committed

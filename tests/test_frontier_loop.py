@@ -152,6 +152,56 @@ def test_global_budget_cache_stays_flat(spark, sf_dir, ckpt):
     assert all(c <= baseline for c in counts), (baseline, counts)
 
 
+def test_hybrid_seen_strategy_matches_exact(spark, sf_dir, ckpt, tmp_path):
+    """seen_strategy='hybrid' (bloom prefilter + exact recovery — the
+    10^10 path promised in PLANS.md's f10 row) must produce EXACTLY the
+    exact-strategy crawl: same per-generation results, no URL fetched
+    twice, and a killed run resumes by rebuilding the bloom from the
+    committed seen table."""
+    cfg = EngineConfig(
+        retries=0, request_workers=4, per_host_budget=7,
+        seen_bloom_bits=1 << 16, seen_bloom_hashes=5,
+    )
+    seed = _seed(spark, sf_dir, 500)
+
+    exact = CrawlDriver(spark, cfg, str(tmp_path / "exact"))
+    exact.run(seed, max_generations=30)  # run to drain (empty frontier)
+
+    hybrid = CrawlDriver(spark, cfg, ckpt, seen_strategy="hybrid")
+    gen, frontier, seen = hybrid.load_state(seed)
+    for g in range(2):  # run 2 generations, then "crash"
+        frontier, seen, _ = hybrid.run_generation(g, frontier, seen)
+    resumed = CrawlDriver(spark, cfg, ckpt, seen_strategy="hybrid")
+    gen2, f2, s2 = resumed.load_state(seed)
+    assert gen2 == 2 and resumed._bloom is not None
+    assert resumed._bloom.bits.any()  # rebuilt from the committed seen set
+    resumed.run(seed, max_generations=30)  # run to drain
+
+    store_h, store_e = CheckpointStore(ckpt), CheckpointStore(str(tmp_path / "exact"))
+    from functools import reduce
+
+    def all_result_urls(store):
+        dfs = [store.read(spark, g, "results") for g in store.committed_generations()]
+        return reduce(lambda a, b: a.unionByName(b), dfs).select("url")
+
+    urls_h = all_result_urls(store_h)
+    urls_e = all_result_urls(store_e)
+    assert urls_h.count() == urls_h.distinct().count()  # no double fetch
+    assert urls_h.exceptAll(urls_e).count() == 0
+    assert urls_e.exceptAll(urls_h).count() == 0
+    # per-generation release schedule identical too (the bloom never
+    # changed WHAT was eligible, only how the dedup executed)
+    per_gen_h = {
+        g: store_h.read(spark, g, "results").count()
+        for g in store_h.committed_generations()
+    }
+    per_gen_e = {
+        g: store_e.read(spark, g, "results").count()
+        for g in store_e.committed_generations()
+    }
+    assert per_gen_h == per_gen_e
+
+
 def test_discovery_expands_frontier(spark, sf_dir, ckpt):
     """Fetched pages yield new URLs (span extraction model) that get
     crawled in later generations exactly once."""

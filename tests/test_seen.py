@@ -58,3 +58,36 @@ def test_bloom_merge_is_union(spark, sf_dir):
     merged = bloom_a.union(bloom_b)
     out = filter_unseen_bloom(frontier, merged)
     assert out.count() == 0  # everything is seen in the union
+
+
+def test_hybrid_equals_exact_even_with_false_positives(spark, sf_dir):
+    """filter_unseen_hybrid == filter_unseen_exact by construction: the
+    exact join sees every row the bloom could be wrong about. Forced here
+    with a DELIBERATELY tiny bitmap (256 bits vs thousands of urls → the
+    bloom is almost all ones, nearly every row flagged maybe-seen)."""
+    from ganda_spark.operators.seen import build_bloom, filter_unseen_hybrid
+
+    frontier = seed_frontier(spark, sf_dir)
+    seen = frontier.where(F.col("seq") % 3 == 0).select("url")
+    tiny = build_bloom(seen, n_bits=256, n_hashes=3)
+    exact = {r[0] for r in filter_unseen_exact(frontier, seen).select("url").collect()}
+    hybrid = [r[0] for r in filter_unseen_hybrid(frontier, seen, tiny).select("url").collect()]
+    assert len(hybrid) == len(set(hybrid))  # branches are disjoint
+    assert set(hybrid) == exact
+    # and with a WELL-SIZED bloom the result is still identical while the
+    # shuffle branch carries only the truly-seen + ε rows
+    good = build_bloom(seen, n_bits=1 << 20, n_hashes=5)
+    hybrid2 = {r[0] for r in filter_unseen_hybrid(frontier, seen, good).select("url").collect()}
+    assert hybrid2 == exact
+
+
+def test_hybrid_empty_bloom_and_empty_seen(spark, sf_dir):
+    """Generation 0 shape: empty bloom + empty seen table → everything is
+    sure-unseen, nothing shuffles, nothing is lost."""
+    from ganda_spark.operators.seen import BloomFilter, filter_unseen_hybrid
+
+    frontier = seed_frontier(spark, sf_dir).limit(200)
+    empty_seen = spark.createDataFrame([], "url string")
+    bloom = BloomFilter(1 << 16, 5)
+    out = filter_unseen_hybrid(frontier, empty_seen, bloom)
+    assert out.count() == 200
