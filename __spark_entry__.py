@@ -404,6 +404,21 @@ SELECT url, host FROM frontier WHERE seq % 3 <> 0
 """
 
 
+def q_f10_seen_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid seen-set path (bloom prefilter + exact recovery of bloom
+    positives) — must equal the exact anti-join by construction, so it
+    shares _SQL_F10 as its oracle. The bloom is deliberately undersized
+    (4096 bits for ~sf*50k seen URLs → heavy false-positive rate) so the
+    exact-recovery branch is provably exercised, not just the bloom-negative
+    fast path. Reference semantics: ganda's seen-set dedup of piped URLs."""
+    from ganda_spark.operators.seen import BloomFilter, build_bloom, filter_unseen_hybrid
+
+    frontier = seed_frontier(spark, sf_dir)
+    seen = frontier.where(F.col("seq") % 3 == 0).select("url")
+    bloom = build_bloom(seen, n_bits=1 << 12, n_hashes=3)
+    return filter_unseen_hybrid(frontier, seen, bloom).select("url", "host")
+
+
 # ---------------------------------------------------------------------------
 # F9: priority pop (per-host top-k by priority, seq)
 # ---------------------------------------------------------------------------
@@ -1784,6 +1799,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "p3_status_classify": (q_p3_status_classify, _SQL_P3),
     "f4_retry_schedule": (q_f4_retry_schedule, _sql_f4()),
     "f10_seen_antijoin": (q_f10_seen_antijoin, _SQL_F10),
+    "f10_seen_hybrid": (q_f10_seen_hybrid, _SQL_F10),
     "f9_priority_pop": (q_f9_priority_pop, _SQL_F9),
     "f7_host_budget": (q_f7_host_budget, _SQL_F7),
     "f8_robots_gate": (q_f8_robots_gate, _SQL_F8),

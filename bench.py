@@ -69,6 +69,22 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict, dict, dict]:
     timings["dedup_antijoin"] = round(time.time() - t0, 3)
     stats["dedup_rows_per_sec"] = round(n_frontier / timings["dedup_antijoin"])
 
+    # 2b. hybrid seen-set (bloom prefilter + exact recovery): the 10^10
+    # path — bloom-negative rows skip the anti-join shuffle entirely.
+    # Timed including the bloom build for honesty; the crawl loop amortizes
+    # the build by growing the bloom per-generation from the seen DELTA
+    # (frontier_loop.py), never rebuilding from the full seen set.
+    from ganda_spark.operators.seen import build_bloom, filter_unseen_hybrid
+
+    # (reported under stats, NOT summed into the headline value, to keep the
+    # headline suite composition comparable to rounds 2-3)
+    t0 = time.time()
+    bloom = build_bloom(seen, n_bits=1 << 22, n_hashes=5)
+    _materialize(filter_unseen_hybrid(frontier, seen, bloom))
+    hybrid_sec = round(time.time() - t0, 3)
+    stats["dedup_hybrid_sec"] = hybrid_sec
+    stats["dedup_hybrid_rows_per_sec"] = round(n_frontier / hybrid_sec)
+
     # 3. the rest of the headline set via the driver-contract queries
     for name in (
         "k1_crawl_pipeline",
