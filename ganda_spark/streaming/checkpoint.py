@@ -92,3 +92,27 @@ class CheckpointStore:
 
     def read_lineage(self, spark: SparkSession, gen: int, table: str) -> DataFrame:
         return spark.read.parquet(os.path.join(self._gen_dir(gen), table))
+
+    def partition_metrics(self, spark: SparkSession, gen: int) -> DataFrame:
+        """Per-partition row metrics over a committed snapshot (the north
+        rule's "per-partition lineage and fetch/dedup/defer metrics"): one
+        narrow aggregation per committed table on the lineage columns that
+        already ride on every row. results = fetch, seen/frontier = dedup
+        state, frontier rows with not_before > gen = deferred work.
+
+        Columns: table, _batch_id, _partition_id, rows — derivable offline
+        from any snapshot, no live driver state needed (the manifest holds
+        the generation-level totals; this exposes the skew view)."""
+        snap = self._gen_dir(gen)
+        with open(os.path.join(snap, "manifest.json")) as f:
+            tables = json.load(f)["tables"]
+        out = None
+        for t in tables:
+            part = (
+                self.read_lineage(spark, gen, t)
+                .groupBy("_batch_id", "_partition_id")
+                .agg(F.count(F.lit(1)).alias("rows"))
+                .select(F.lit(t).alias("table"), "_batch_id", "_partition_id", "rows")
+            )
+            out = part if out is None else out.unionByName(part)
+        return out

@@ -101,6 +101,25 @@ def test_lineage_columns_committed(spark, sf_dir, ckpt):
     assert lin.select("_partition_id").distinct().count() >= 1
 
 
+def test_partition_metrics_from_snapshot(spark, sf_dir, ckpt):
+    """north rule: per-partition fetch/dedup/defer metrics, derivable
+    offline from any committed snapshot via the lineage columns."""
+    cfg = EngineConfig(retries=1, request_workers=4)
+    driver = CrawlDriver(spark, cfg, ckpt)
+    driver.run(_seed(spark, sf_dir, 200), max_generations=1)
+    store = CheckpointStore(ckpt)
+    pm = store.partition_metrics(spark, 0)
+    assert pm.columns == ["table", "_batch_id", "_partition_id", "rows"]
+    agg = {r["table"]: r["total"] for r in
+           pm.groupBy("table").agg(F.sum("rows").alias("total")).collect()}
+    # per-partition rows must sum to the committed table totals
+    for t in ("results", "errors", "frontier", "seen"):
+        assert agg.get(t, 0) == store.read(spark, 0, t).count(), t
+    # fetch metric consistency with the manifest accounting
+    snap = store.latest()
+    assert agg.get("results", 0) == snap.manifest["metrics"]["results"]
+
+
 def test_live_fetch_executes_once_per_generation(spark, ckpt):
     """Regression (VERDICT r1 #4 / ADVICE r1): only `results` was cached, so
     the errors write, errors.count() and the redeliver/perma-failed splits
