@@ -114,7 +114,16 @@ def partition_for_fetch(released: DataFrame, cfg: EngineConfig) -> DataFrame:
     """Physical placement for the fetch stage: range-partition on
     (host_bucket, priority) and sort within partitions — every host's rows
     are contiguous in one task (per-host sessions + budgets are local),
-    and the hot-host salt spreads placement without touching semantics."""
+    and the hot-host salt spreads placement without touching semantics.
+
+    Partition count is request_workers CAPPED at 16× cluster parallelism
+    (same hazard as the rank site above: -W may be 2^20 and a ~1M-partition
+    repartitionByRange is a scheduler/boundary-sampling hazard). Total
+    fetch concurrency is preserved: threads_per_task (http_fetch.py) sizes
+    each task's pool as ceil(request_workers / partitions), so capping
+    partitions raises per-task threads, not the -W contract."""
+    default_par = released.sparkSession.sparkContext.defaultParallelism
+    parts = min(cfg.request_workers, max(default_par * 16, 64))
     salted = released.withColumn(
         "_bucket",
         host_bucket(
@@ -122,7 +131,7 @@ def partition_for_fetch(released: DataFrame, cfg: EngineConfig) -> DataFrame:
         ),
     )
     return (
-        salted.repartitionByRange(cfg.request_workers, "_bucket", "priority")
+        salted.repartitionByRange(parts, "_bucket", "priority")
         .sortWithinPartitions("_bucket", "priority", "seq")
         .drop("_bucket")
     )

@@ -104,6 +104,22 @@ def test_partition_for_fetch_preserves_rows(spark, sf_dir):
     assert placed.rdd.getNumPartitions() == 8
 
 
+def test_partition_for_fetch_caps_partitions_at_huge_w(spark, sf_dir):
+    """-W may be up to 2^20; a ~1M-partition repartitionByRange is itself a
+    scheduler hazard (ADVICE r2). Partitions cap at 16× parallelism while
+    threads_per_task preserves the total -W concurrency contract."""
+    from ganda_spark.operators.http_fetch import threads_per_task
+
+    frontier = seed_frontier(spark, sf_dir).limit(500)
+    cfg = EngineConfig(request_workers=1 << 20)
+    placed = partition_for_fetch(frontier, cfg)
+    cap = max(spark.sparkContext.defaultParallelism * 16, 64)
+    n_parts = placed.rdd.getNumPartitions()
+    assert n_parts <= cap
+    # total concurrency stays -W-shaped: tasks × per-task threads ≥ min(W, bound)
+    assert threads_per_task(cfg, n_parts) >= 1
+
+
 def test_salting_balances_hot_host(spark, sf_dir):
     """The hot host (~24% of rows) must not pin one task: with the seq
     salt, the max fetch-partition size stays close to uniform."""
