@@ -53,6 +53,7 @@ class EngineConfig:
     skew_salt: int = 8                         # sub-splits for hot hosts
     seen_bloom_bits: int = 1 << 24             # bloom bitmap size (bits)
     seen_bloom_hashes: int = 5
+    seen_cuckoo_buckets: int = 1 << 18         # cuckoo table buckets (4 slots each)
     # mock-fetch CPU realism: extra hash rounds per request simulating the
     # CPU a real HTTP transaction burns (TLS handshake, header parse,
     # chunked decode ≈ 50-200µs). 0 = pure-spec mock (0.7µs/row).

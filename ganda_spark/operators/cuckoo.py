@@ -100,7 +100,16 @@ class CuckooFilter:
                 self.overflow.add(self._ovf_key(*homeless))
 
     def delete_hashes(self, h64: np.ndarray) -> None:
-        """Retraction — the cuckoo advantage over bloom."""
+        """Retraction — the cuckoo advantage over bloom.
+
+        Standard cuckoo-filter caveat (Fan et al. §3.3): deletion is safe
+        only for items actually inserted. Two distinct urls can share
+        (bucket, fingerprint); the table keeps one slot entry per insert so
+        deleting one leaves the twin's copy, but entries that spilled to
+        the OVERFLOW SET collapse to one key — deleting one such twin drops
+        the other's membership (a false negative → a benign double fetch).
+        The crawl loop never deletes speculatively, only on explicit
+        re-crawl retraction, where a re-fetch is the intent anyway."""
         fps = self._fp(h64)
         i1s = self._i1(h64)
         alts = self._alt(i1s, fps)

@@ -136,25 +136,26 @@ def build_bloom_tree(
 
 
 def filter_unseen_hybrid(
-    frontier: DataFrame, seen_urls: DataFrame, bloom: BloomFilter
+    frontier: DataFrame, seen_urls: DataFrame, prefilter
 ) -> DataFrame:
-    """The 10^10-scale composition (PLANS.md f10 row): the broadcast bloom
-    SPLITS the frontier —
+    """The 10^10-scale composition (PLANS.md f10 row): the broadcast
+    prefilter (BloomFilter or CuckooFilter — anything with a vectorized
+    `might_contain(h64)` and no false negatives) SPLITS the frontier —
 
-      * bloom-negative rows are DEFINITELY unseen (no false negatives) and
-        skip the anti-join shuffle entirely; on a growing crawl this is the
-        bulk of every generation,
-      * bloom-positive rows (truly seen + false-positive rate ε) are the
-        only rows that shuffle against the seen table, which recovers the
-        false positives exactly.
+      * prefilter-negative rows are DEFINITELY unseen (no false negatives)
+        and skip the anti-join shuffle entirely; on a growing crawl this is
+        the bulk of every generation,
+      * prefilter-positive rows (truly seen + false-positive rate ε) are
+        the only rows that shuffle against the seen table, which recovers
+        the false positives exactly.
 
     Equal to filter_unseen_exact by construction — the exact join sees
-    every row the bloom could possibly be wrong about. The two branches
+    every row the prefilter could possibly be wrong about. The two branches
     re-run the (map-only, deterministic) tag pass once each; at scale two
     scans are far cheaper than shuffling the full frontier, and loop
     callers read the frontier from committed parquet anyway."""
     spark = frontier.sparkSession
-    bc = spark.sparkContext.broadcast((bloom.n_bits, bloom.n_hashes, bloom.bits))
+    bc = spark.sparkContext.broadcast(prefilter)
     with_h = frontier.withColumn("url_h", url_hash64(F.col("url")))
 
     from pyspark.sql import types as T
@@ -165,8 +166,7 @@ def filter_unseen_hybrid(
     )
 
     def tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        n_bits, n_hashes, bits = bc.value
-        local = BloomFilter(n_bits, n_hashes, bits)
+        local = bc.value
         for pdf in batches:
             if len(pdf):
                 flag = local.might_contain(pdf["url_h"].to_numpy(dtype=np.int64))

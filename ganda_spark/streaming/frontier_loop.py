@@ -79,13 +79,17 @@ class CrawlDriver:
         (VERDICT r2 #1).
 
         seen_strategy: 'exact' (anti-join the full eligible frontier — the
-        correctness oracle) or 'hybrid' (the 10^10 path: a driver-held
+        correctness oracle), 'hybrid' (the 10^10 path: a driver-held
         Bloom filter, grown per generation via a treeAggregate over just
         that generation's newly-seen delta, splits the frontier so only
         bloom-positive rows shuffle against the seen table; result is
         identical to 'exact' by construction — see
-        operators.seen.filter_unseen_hybrid). On resume the bloom is
-        rebuilt once from the committed seen table."""
+        operators.seen.filter_unseen_hybrid), or 'cuckoo' (same split with
+        a CuckooFilter prefilter — choose it when the crawl needs
+        RETRACTION, e.g. re-crawl scheduling deletes a url to make it
+        fetchable again; merge spills to an overflow set so membership
+        stays no-false-negative). On resume the prefilter is rebuilt once
+        from the committed seen table."""
         self.spark = spark
         self.cfg = cfg
         self.store = CheckpointStore(checkpoint_dir)
@@ -94,10 +98,10 @@ class CrawlDriver:
         self.max_redelivery = max_redelivery
         self.fetcher = fetcher or mock_fetch_udf
         self.global_budget = global_budget
-        if seen_strategy not in ("exact", "hybrid"):
+        if seen_strategy not in ("exact", "hybrid", "cuckoo"):
             raise ValueError(f"unknown seen_strategy {seen_strategy!r}")
         self.seen_strategy = seen_strategy
-        self._bloom = None  # lazily built/grown on the hybrid path
+        self._bloom = None  # lazily built/grown prefilter (bloom OR cuckoo)
 
     # -- resume -------------------------------------------------------------
 
@@ -119,6 +123,10 @@ class CrawlDriver:
                 seen, n_bits=self.cfg.seen_bloom_bits,
                 n_hashes=self.cfg.seen_bloom_hashes,
             )
+        elif self.seen_strategy == "cuckoo":
+            from ganda_spark.operators.cuckoo import build_cuckoo
+
+            self._bloom = build_cuckoo(seen, n_buckets=self.cfg.seen_cuckoo_buckets)
         return snap.generation + 1, frontier, seen
 
     # -- one generation -------------------------------------------------------
@@ -138,13 +146,18 @@ class CrawlDriver:
         uid = next(_OBS_COUNTER)
         obs_eligible = Observation(f"g{gen}-{uid}-eligible")
         eligible = eligible.observe(obs_eligible, F.count(F.lit(1)).alias("n"))
-        if self.seen_strategy == "hybrid":
+        if self.seen_strategy in ("hybrid", "cuckoo"):
             from ganda_spark.operators.seen import BloomFilter, filter_unseen_hybrid
 
             if self._bloom is None:
-                self._bloom = BloomFilter(
-                    cfg.seen_bloom_bits, cfg.seen_bloom_hashes
-                )
+                if self.seen_strategy == "cuckoo":
+                    from ganda_spark.operators.cuckoo import CuckooFilter
+
+                    self._bloom = CuckooFilter(cfg.seen_cuckoo_buckets)
+                else:
+                    self._bloom = BloomFilter(
+                        cfg.seen_bloom_bits, cfg.seen_bloom_hashes
+                    )
             unseen = filter_unseen_hybrid(eligible, seen, self._bloom)
         else:
             unseen = filter_unseen_exact(eligible, seen)
@@ -269,6 +282,15 @@ class CrawlDriver:
                 n_hashes=self.cfg.seen_bloom_hashes,
             )
             self._bloom = self._bloom.union(delta)
+        elif self.seen_strategy == "cuckoo":
+            # same delta-only discipline; fingerprint re-insertion merge
+            # spills to the overflow set rather than ever dropping a member
+            from ganda_spark.operators.cuckoo import build_cuckoo
+
+            delta = build_cuckoo(
+                newly_seen, n_buckets=self.cfg.seen_cuckoo_buckets
+            )
+            self._bloom = self._bloom.merge(delta)
         fetched.unpersist()
         for handle in gen_caches:  # scale-safe-rank intermediates: release
             handle.unpersist()  # after the generation's writes committed

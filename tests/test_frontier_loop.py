@@ -221,6 +221,44 @@ def test_hybrid_seen_strategy_matches_exact(spark, sf_dir, ckpt, tmp_path):
     assert per_gen_h == per_gen_e
 
 
+def test_cuckoo_seen_strategy_matches_exact(spark, sf_dir, ckpt, tmp_path):
+    """seen_strategy='cuckoo' (north rule: "bloom/cuckoo URL-seen set") —
+    same contract as hybrid: crawl identical to exact, resumable. The
+    table is deliberately undersized (64 buckets × 4 slots for ~500 urls)
+    so fingerprint insertion MUST spill to the overflow set — membership
+    stays no-false-negative even past the load-factor cliff."""
+    cfg = EngineConfig(
+        retries=0, request_workers=4, per_host_budget=7,
+        seen_cuckoo_buckets=1 << 6,
+    )
+    seed = _seed(spark, sf_dir, 500)
+
+    exact = CrawlDriver(spark, cfg, str(tmp_path / "exact"))
+    exact.run(seed, max_generations=30)
+
+    cuckoo = CrawlDriver(spark, cfg, ckpt, seen_strategy="cuckoo")
+    gen, frontier, seen = cuckoo.load_state(seed)
+    for g in range(2):
+        frontier, seen, _ = cuckoo.run_generation(g, frontier, seen)
+    assert cuckoo._bloom is not None and cuckoo._bloom.table.any()
+    resumed = CrawlDriver(spark, cfg, ckpt, seen_strategy="cuckoo")
+    gen2, f2, s2 = resumed.load_state(seed)
+    assert gen2 == 2 and resumed._bloom.table.any()  # rebuilt on resume
+    resumed.run(seed, max_generations=30)
+
+    store_c, store_e = CheckpointStore(ckpt), CheckpointStore(str(tmp_path / "exact"))
+    from functools import reduce
+
+    def all_result_urls(store):
+        dfs = [store.read(spark, g, "results") for g in store.committed_generations()]
+        return reduce(lambda a, b: a.unionByName(b), dfs).select("url")
+
+    urls_c, urls_e = all_result_urls(store_c), all_result_urls(store_e)
+    assert urls_c.count() == urls_c.distinct().count()  # no double fetch
+    assert urls_c.exceptAll(urls_e).count() == 0
+    assert urls_e.exceptAll(urls_c).count() == 0
+
+
 def test_discovery_expands_frontier(spark, sf_dir, ckpt):
     """Fetched pages yield new URLs (span extraction model) that get
     crawled in later generations exactly once."""
