@@ -16,6 +16,7 @@ Discover fan-out: ~10% of fetched pages link to one depth-1 child, so the
 frontier also GROWS mid-run (the realistic shape).
 
 Usage: python tools/rehearsal.py [--generations N] [--sf-dir DIR]
+                                 [--seen-strategy exact|hybrid|cuckoo]
 Prints one markdown table + one JSON line (for BASELINE.md).
 """
 
@@ -79,6 +80,9 @@ def main() -> int:
         gens = int(sys.argv[sys.argv.index("--generations") + 1])
     if "--sf-dir" in sys.argv:
         sf_dir = sys.argv[sys.argv.index("--sf-dir") + 1]
+    strategy = "exact"
+    if "--seen-strategy" in sys.argv:
+        strategy = sys.argv[sys.argv.index("--seen-strategy") + 1]
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     spark = get_spark("rehearsal", cores=cores)
@@ -91,7 +95,8 @@ def main() -> int:
         fetch_cpu_work=5,  # light CPU realism; the loop is what's measured
     )
     driver = CrawlDriver(
-        spark, cfg, ckpt, discover=discover, global_budget=GLOBAL_BUDGET
+        spark, cfg, ckpt, discover=discover, global_budget=GLOBAL_BUDGET,
+        seen_strategy=strategy,
     )
     seed = build_seed(spark, sf_dir)
 
@@ -141,6 +146,7 @@ def main() -> int:
         "persistent_rdds": [r["persistent_rdds"] for r in rows],
         "cores": cores,
         "sf": sf_dir.rsplit("sf", 1)[-1],
+        "seen_strategy": strategy,
     }
     print(json.dumps(summary))
     return 0
