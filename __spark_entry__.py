@@ -1139,16 +1139,25 @@ def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sigs.select("doc_id", *[f"sig_{s}" for s in range(8)])
 
 
-def _sql_minhash_sig() -> str:
-    sig_cols = ",\n       ".join(
-        "list_min([{h} for s in shingles]) AS sig_{i}".format(
-            h=_DUCK_MD5INT.format(x=f"concat('{i}:', s)"), i=i
-        )
+def _duck_sig_cols() -> str:
+    """Mirror of operators.dedup.minhash_signatures: one md5 per shingle
+    mod P, then per-seed affine mixes (A·h+B) mod P. Both operands are
+    non-negative so DuckDB's % equals Spark's pmod; A·h < 2^58 is exact
+    BIGINT on both engines."""
+    from ganda_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    h = _DUCK_MD5INT.format(x="s") + f" % {MINHASH_P}"
+    return ",\n       ".join(
+        f"list_min([({MINHASH_A[i]} * ({h}) + {MINHASH_B[i]}) % {MINHASH_P}"
+        f" for s in shingles]) AS sig_{i}"
         for i in range(8)
     )
+
+
+def _sql_minhash_sig() -> str:
     return f"""
 WITH {_DUCK_NEAR_CORPUS}, {_DUCK_SHINGLES}
-SELECT doc_id, {sig_cols} FROM sh
+SELECT doc_id, {_duck_sig_cols()} FROM sh
 """
 
 
@@ -1179,12 +1188,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_minhash_lsh() -> str:
-    sig_cols = ", ".join(
-        "list_min([{h} for s in shingles]) AS sig_{i}".format(
-            h=_DUCK_MD5INT.format(x=f"concat('{i}:', s)"), i=i
-        )
-        for i in range(8)
-    )
+    sig_cols = _duck_sig_cols()
     band_cols = ", ".join(
         f"md5(concat(CAST(sig_{2*b} AS VARCHAR), '_', CAST(sig_{2*b+1} AS VARCHAR)))"
         f" AS band_{b}"

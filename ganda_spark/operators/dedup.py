@@ -74,19 +74,36 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 # ---------------------------------------------------------------------------
 
 
+# Universal-hash family for minhash: sig_s = min over shingles of
+# (A[s]·h + B[s]) mod P, with h = md5_int(shingle) mod P computed ONCE per
+# shingle. One md5 per shingle instead of k (the md5 is ~all the cost of
+# the signature stage; the affine mixes are integer codegen). P Mersenne
+# prime 2^31−1; A < 2^27 keeps A·h < 2^58 — exact in BIGINT on both Spark
+# (ANSI mode) and DuckDB, so the oracle mirrors the arithmetic verbatim.
+MINHASH_P = (1 << 31) - 1
+MINHASH_A = (1299709, 15485863, 32452843, 49979687,
+             67867967, 86028121, 104395301, 122949823)
+MINHASH_B = (104729, 1299721, 15485867, 32452867,
+             49979693, 67867979, 86028157, 122949829)
+
+
 def minhash_signatures(df: DataFrame, k: int = 8, shingle_col: str = "shingles") -> DataFrame:
-    """k min-hashes per doc, zero shuffles: array_min over a salted md5
-    transform of the shingle array."""
-    out = df
+    """k min-hashes per doc, zero shuffles: array_min over affine mixes of
+    a SINGLE md5 per shingle (hoisted — was k salted md5s per shingle)."""
+    assert k <= len(MINHASH_A)
+    out = df.withColumn(
+        "_hs",
+        F.expr(
+            f"transform({shingle_col}, sh -> pmod({md5_int('sh')}, {MINHASH_P}))"
+        ),
+    )
     for s in range(k):
+        a, b = MINHASH_A[s], MINHASH_B[s]
         out = out.withColumn(
             f"sig_{s}",
-            F.expr(
-                f"array_min(transform({shingle_col}, "
-                f"sh -> {md5_int('sh', prefix=f'{s}:')}))"
-            ),
+            F.expr(f"array_min(transform(_hs, h -> pmod({a} * h + {b}, {MINHASH_P})))"),
         )
-    return out
+    return out.drop("_hs")
 
 
 def lsh_band_hashes(sigs: DataFrame, k: int = 8, rows_per_band: int = 2) -> DataFrame:
