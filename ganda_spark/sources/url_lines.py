@@ -59,28 +59,39 @@ def parse_url_lines(
     )
     from ganda_spark.config import MAX_LINE_BYTES
 
-    checked = F.when(
-        # 1 MB max-line guard (reference bufio buffer, parser/parser.go:105)
-        F.length("value") > MAX_LINE_BYTES,
-        F.raise_error(
-            F.concat(
-                F.lit(f"input line exceeds {MAX_LINE_BYTES} bytes: "),
-                F.substring("value", 1, 80),
-            )
-        ),
-    ).when(
-        n_quotes % 2 == 1,
-        F.raise_error(F.concat(F.lit("malformed TSV record: "), F.col("value"))),
-    ).otherwise(F.col("value"))
+    # Guards live in a FILTER, not inlined under every projected field: an
+    # expression wrapping `value` would be re-inlined into url/context/
+    # where (3-5 copies of the raise_error+regex subtree per row), which
+    # pushed wide consumers of this parse past janino's 64 KB method limit
+    # and dropped the whole stage out of codegen. As a filter predicate the
+    # guard compiles once and evaluates once per row.
+    guard = (
+        F.when(
+            # 1 MB max-line guard (reference bufio buffer, parser/parser.go:105)
+            F.length("value") > MAX_LINE_BYTES,
+            F.raise_error(
+                F.concat(
+                    F.lit(f"input line exceeds {MAX_LINE_BYTES} bytes: "),
+                    F.substring("value", 1, 80),
+                )
+            ),
+        )
+        .when(
+            n_quotes % 2 == 1,
+            F.raise_error(F.concat(F.lit("malformed TSV record: "), F.col("value"))),
+        )
+        .otherwise(F.lit(0))
+    )
 
-    fields = F.split(checked, _TAB_OUTSIDE_QUOTES)
+    fields = F.split(F.col("value"), _TAB_OUTSIDE_QUOTES)
     url = _unquote(F.element_at(fields, 1))
     rest = F.slice(fields, 2, F.greatest(F.size(fields) - 1, F.lit(0)))
     context = F.transform(rest, _unquote)
     context = F.when(F.size(context) > 0, context)  # nil when absent
 
     return (
-        lines.select(
+        lines.where(guard >= 0)
+        .select(
             "seq",
             url.alias("url"),
             context.alias("context"),
