@@ -411,7 +411,7 @@ def q_f10_seen_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     (4096 bits for ~sf*50k seen URLs → heavy false-positive rate) so the
     exact-recovery branch is provably exercised, not just the bloom-negative
     fast path. Reference semantics: ganda's seen-set dedup of piped URLs."""
-    from ganda_spark.operators.seen import BloomFilter, build_bloom, filter_unseen_hybrid
+    from ganda_spark.operators.seen import build_bloom, filter_unseen_hybrid
 
     frontier = seed_frontier(spark, sf_dir)
     seen = frontier.where(F.col("seq") % 3 == 0).select("url")
@@ -1140,16 +1140,21 @@ def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_sig_cols() -> str:
-    """Mirror of operators.dedup.minhash_signatures: one md5 per shingle
-    mod P, then per-seed affine mixes (A·h+B) mod P. Both operands are
-    non-negative so DuckDB's % equals Spark's pmod; A·h < 2^58 is exact
-    BIGINT on both engines."""
-    from ganda_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+    """Mirror of operators.dedup.minhash_signatures: one md5 per shingle,
+    two independent 48-bit digest halves reduced mod P, per-seed
+    pairwise-independent mixes. All operands non-negative so DuckDB's %
+    equals Spark's pmod; every product < 2^58 is exact BIGINT on both
+    engines. The [for d in [md5(s) ...]] nesting computes the digest once
+    per shingle, matching the Spark hoist."""
+    from ganda_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_C, MINHASH_P
 
-    h = _DUCK_MD5INT.format(x="s") + f" % {MINHASH_P}"
+    h1 = f"(CAST(('0x' || substr(d, 1, 12)) AS BIGINT) % {MINHASH_P})"
+    h2 = f"(CAST(('0x' || substr(d, 13, 12)) AS BIGINT) % {MINHASH_P})"
     return ",\n       ".join(
-        f"list_min([({MINHASH_A[i]} * ({h}) + {MINHASH_B[i]}) % {MINHASH_P}"
-        f" for s in shingles]) AS sig_{i}"
+        f"list_min([(({MINHASH_A[i]} * {h1}) % {MINHASH_P}"
+        f" + ({MINHASH_B[i]} * {h2}) % {MINHASH_P}"
+        f" + {MINHASH_C[i]}) % {MINHASH_P}"
+        f" for d in [md5(s) for s in shingles]]) AS sig_{i}"
         for i in range(8)
     )
 

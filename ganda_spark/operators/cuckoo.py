@@ -144,14 +144,20 @@ class CuckooFilter:
 
     def merge(self, other: "CuckooFilter") -> "CuckooFilter":
         """Re-insert the other's fingerprints; inserts that can't land spill
-        to the overflow set — no false negatives ever."""
+        to the overflow set — no false negatives ever.
+
+        Iterates only OCCUPIED slots (np.nonzero), so merge cost is
+        O(other's member count), not O(table size): a small per-generation
+        delta merged into a large table touches only the delta's entries
+        (a full-table Python scan here made the crawl loop's cuckoo path
+        stall for seconds per generation regardless of delta size)."""
         assert self.n_buckets == other.n_buckets
-        for idx in range(other.n_buckets):
-            for fp in other.table[idx]:
-                if fp:
-                    homeless = self._insert_one(idx, int(fp))
-                    if homeless is not None:
-                        self.overflow.add(self._ovf_key(*homeless))
+        idxs, slots = np.nonzero(other.table)
+        fps = other.table[idxs, slots]
+        for idx, fp in zip(idxs.tolist(), fps.tolist()):
+            homeless = self._insert_one(idx, fp)
+            if homeless is not None:
+                self.overflow.add(self._ovf_key(*homeless))
         self.overflow |= other.overflow
         return self
 

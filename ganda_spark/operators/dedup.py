@@ -75,35 +75,62 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 
 # Universal-hash family for minhash: sig_s = min over shingles of
-# (A[s]·h + B[s]) mod P, with h = md5_int(shingle) mod P computed ONCE per
-# shingle. One md5 per shingle instead of k (the md5 is ~all the cost of
-# the signature stage; the affine mixes are integer codegen). P Mersenne
-# prime 2^31−1; A < 2^27 keeps A·h < 2^58 — exact in BIGINT on both Spark
-# (ANSI mode) and DuckDB, so the oracle mirrors the arithmetic verbatim.
+# (A[s]·h1 + B[s]·h2 + C[s]) mod P, with h1/h2 two INDEPENDENT 48-bit
+# halves of a SINGLE md5 per shingle (hex chars 1-12 and 13-24 of the
+# digest), each reduced mod P. One md5 per shingle instead of k (the md5
+# is ~all the cost of the signature stage; the mixes are integer codegen).
+# Two independent base hashes matter: with one base value, a base-hash
+# collision between two shingles would conflate them under ALL k
+# functions simultaneously (correlated minhash error); requiring both
+# 48-bit halves to collide pushes that to ~2^-62 per pair. P Mersenne
+# prime 2^31−1; A,B < 2^27 keep each product < 2^58 and the inner pmods
+# keep every intermediate exact in BIGINT on both Spark (ANSI mode) and
+# DuckDB, so the oracle mirrors the arithmetic verbatim.
 MINHASH_P = (1 << 31) - 1
 MINHASH_A = (1299709, 15485863, 32452843, 49979687,
              67867967, 86028121, 104395301, 122949823)
 MINHASH_B = (104729, 1299721, 15485867, 32452867,
              49979693, 67867979, 86028157, 122949829)
+MINHASH_C = (15486041, 32452919, 49979801, 67868071,
+             86028221, 104395361, 122949899, 1299827)
+
+
+def _minhash_mix(s: int, x: str = "x", y: str = "y") -> str:
+    """SQL fragment (valid in both Spark and DuckDB given non-negative
+    operands): (A·x mod P + B·y mod P + C) mod P via pmod/%."""
+    a, b, c = MINHASH_A[s], MINHASH_B[s], MINHASH_C[s]
+    return (
+        f"pmod(pmod({a} * {x}, {MINHASH_P}) + pmod({b} * {y}, {MINHASH_P})"
+        f" + {c}, {MINHASH_P})"
+    )
 
 
 def minhash_signatures(df: DataFrame, k: int = 8, shingle_col: str = "shingles") -> DataFrame:
-    """k min-hashes per doc, zero shuffles: array_min over affine mixes of
-    a SINGLE md5 per shingle (hoisted — was k salted md5s per shingle)."""
+    """k min-hashes per doc, zero shuffles: array_min over pairwise-
+    independent mixes of ONE md5 per shingle (was k salted md5s)."""
     assert k <= len(MINHASH_A)
-    out = df.withColumn(
-        "_hs",
-        F.expr(
-            f"transform({shingle_col}, sh -> pmod({md5_int('sh')}, {MINHASH_P}))"
-        ),
+    half = "CAST(conv(substr(d, {start}, 12), 16, 10) AS BIGINT)"
+    out = (
+        df.withColumn("_hd", F.expr(f"transform({shingle_col}, sh -> md5(sh))"))
+        .withColumn(
+            "_h1",
+            F.expr(
+                f"transform(_hd, d -> pmod({half.format(start=1)}, {MINHASH_P}))"
+            ),
+        )
+        .withColumn(
+            "_h2",
+            F.expr(
+                f"transform(_hd, d -> pmod({half.format(start=13)}, {MINHASH_P}))"
+            ),
+        )
     )
     for s in range(k):
-        a, b = MINHASH_A[s], MINHASH_B[s]
         out = out.withColumn(
             f"sig_{s}",
-            F.expr(f"array_min(transform(_hs, h -> pmod({a} * h + {b}, {MINHASH_P})))"),
+            F.expr(f"array_min(zip_with(_h1, _h2, (x, y) -> {_minhash_mix(s)}))"),
         )
-    return out.drop("_hs")
+    return out.drop("_hd", "_h1", "_h2")
 
 
 def lsh_band_hashes(sigs: DataFrame, k: int = 8, rows_per_band: int = 2) -> DataFrame:

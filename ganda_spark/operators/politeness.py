@@ -118,10 +118,14 @@ def partition_for_fetch(released: DataFrame, cfg: EngineConfig) -> DataFrame:
 
     Partition count is request_workers CAPPED at 16× cluster parallelism
     (same hazard as the rank site above: -W may be 2^20 and a ~1M-partition
-    repartitionByRange is a scheduler/boundary-sampling hazard). Total
-    fetch concurrency is preserved: threads_per_task (http_fetch.py) sizes
-    each task's pool as ceil(request_workers / partitions), so capping
-    partitions raises per-task threads, not the -W contract."""
+    repartitionByRange is a scheduler/boundary-sampling hazard).
+    threads_per_task (http_fetch.py) compensates by sizing each task's
+    pool as ceil(request_workers / partitions), itself bounded by
+    MAX_THREADS_PER_TASK — so effective total concurrency is
+    min(-W, partitions × MAX_THREADS_PER_TASK). An extreme -W beyond that
+    product is treated as "as much concurrency as this cluster can give",
+    matching the reference's behavior of -W being an upper bound, not a
+    guarantee (its transport also caps idle conns per host)."""
     default_par = released.sparkSession.sparkContext.defaultParallelism
     parts = min(cfg.request_workers, max(default_par * 16, 64))
     salted = released.withColumn(

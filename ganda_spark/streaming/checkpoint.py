@@ -44,7 +44,8 @@ class CheckpointStore:
         manifest write is the commit point — a crash before it leaves an
         uncommitted (ignored) directory, after it a complete snapshot."""
         gen_dir = self._gen_dir(gen)
-        counts = {}
+        os.makedirs(gen_dir, exist_ok=True)  # table writes create it too,
+        counts = {}                          # but commit({}) is legal
         for name, df in tables.items():
             out = df.withColumn("_batch_id", F.lit(gen)).withColumn(
                 "_partition_id", F.spark_partition_id()
@@ -106,7 +107,9 @@ class CheckpointStore:
         snap = self._gen_dir(gen)
         with open(os.path.join(snap, "manifest.json")) as f:
             tables = json.load(f)["tables"]
-        out = None
+        out = spark.createDataFrame(
+            [], "table string, _batch_id int, _partition_id int, rows long"
+        )
         for t in tables:
             part = (
                 self.read_lineage(spark, gen, t)
@@ -114,5 +117,5 @@ class CheckpointStore:
                 .agg(F.count(F.lit(1)).alias("rows"))
                 .select(F.lit(t).alias("table"), "_batch_id", "_partition_id", "rows")
             )
-            out = part if out is None else out.unionByName(part)
+            out = out.unionByName(part)
         return out

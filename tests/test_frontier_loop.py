@@ -241,6 +241,10 @@ def test_cuckoo_seen_strategy_matches_exact(spark, sf_dir, ckpt, tmp_path):
     for g in range(2):
         frontier, seen, _ = cuckoo.run_generation(g, frontier, seen)
     assert cuckoo._bloom is not None and cuckoo._bloom.table.any()
+    # the undersized table MUST have spilled — pins that overflow entries
+    # are actually recorded, not silently dropped (the no-false-negative
+    # property this test's docstring claims)
+    assert len(cuckoo._bloom.overflow) > 0
     resumed = CrawlDriver(spark, cfg, ckpt, seen_strategy="cuckoo")
     gen2, f2, s2 = resumed.load_state(seed)
     assert gen2 == 2 and resumed._bloom.table.any()  # rebuilt on resume

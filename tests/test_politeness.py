@@ -110,14 +110,24 @@ def test_partition_for_fetch_caps_partitions_at_huge_w(spark, sf_dir):
     threads_per_task preserves the total -W concurrency contract."""
     from ganda_spark.operators.http_fetch import threads_per_task
 
+    import math
+
+    from ganda_spark.operators.http_fetch import MAX_THREADS_PER_TASK
+
     frontier = seed_frontier(spark, sf_dir).limit(500)
     cfg = EngineConfig(request_workers=1 << 20)
     placed = partition_for_fetch(frontier, cfg)
     cap = max(spark.sparkContext.defaultParallelism * 16, 64)
     n_parts = placed.rdd.getNumPartitions()
     assert n_parts <= cap
-    # total concurrency stays -W-shaped: tasks × per-task threads ≥ min(W, bound)
-    assert threads_per_task(cfg, n_parts) >= 1
+    # the real invariant: per-task pool is ceil(W / partitions) bounded by
+    # MAX_THREADS_PER_TASK, so effective concurrency is
+    # min(W, partitions x MAX_THREADS_PER_TASK)
+    expected = min(MAX_THREADS_PER_TASK, math.ceil(cfg.request_workers / n_parts))
+    assert threads_per_task(cfg, n_parts) == expected
+    assert n_parts * threads_per_task(cfg, n_parts) == min(
+        cfg.request_workers, n_parts * MAX_THREADS_PER_TASK
+    )
 
 
 def test_salting_balances_hot_host(spark, sf_dir):
