@@ -1795,6 +1795,202 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# incremental minhash dedup: new batch vs existing corpus (the nightly-
+# ingest shape at 100 TB — corpus bands are a prebuilt table, never
+# self-joined; the batch side broadcasts)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which docs of an incoming batch near-duplicate the existing corpus:
+    corpus = the original documents, batch = the planted near-dup copies
+    (doc_id ≥ 100000 in the _near_corpus construction). Plan shape: the
+    corpus band table is scanned ONCE and joined against the broadcast
+    batch bands — no corpus self-join anywhere, which is the whole point
+    of the incremental form (dedup_minhash_lsh's self-join is the
+    first-build shape; this is every night after)."""
+    from ganda_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        incremental_pair_bound,
+    )
+
+    docs = with_shingles(_near_corpus(spark, sf_dir)).persist()
+    base = docs.where(F.col("doc_id") < 100000)
+    new = docs.where(F.col("doc_id") >= 100000)
+    banded_base = lsh_band_hashes(minhash_signatures(base, k=8), k=8, rows_per_band=2).persist()
+    banded_new = lsh_band_hashes(minhash_signatures(new, k=8), k=8, rows_per_band=2).persist()
+    ub = incremental_pair_bound(banded_base, banded_new)
+    pairs = incremental_lsh_pairs(banded_base, banded_new)
+    verified = jaccard_verify(pairs, docs, broadcast_pairs=ub <= 5_000_000)
+    return verified.where(F.col("jaccard") >= 0.5)
+
+
+def _sql_minhash_incremental() -> str:
+    sig_cols = _duck_sig_cols()
+    band_cols = ", ".join(
+        f"md5(concat(CAST(sig_{2*b} AS VARCHAR), '_', CAST(sig_{2*b+1} AS VARCHAR)))"
+        f" AS band_{b}"
+        for b in range(4)
+    )
+    band_union = "\nUNION ALL\n".join(
+        f"SELECT {b} AS band, band_{b} AS bh, doc_id FROM banded" for b in range(4)
+    )
+    return f"""
+WITH {_DUCK_NEAR_CORPUS}, {_DUCK_SHINGLES},
+sigs AS (SELECT doc_id, shingles, {sig_cols} FROM sh),
+banded AS (SELECT *, {band_cols} FROM sigs),
+allbands AS ({band_union}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM allbands a JOIN allbands b USING (band, bh)
+  WHERE a.doc_id < 100000 AND b.doc_id >= 100000
+),
+dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh)
+SELECT id_a, id_b,
+       round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+             len(list_distinct(list_concat(x.s, y.s))), 4) AS jaccard
+FROM pairs JOIN dsh x ON x.doc_id = id_a JOIN dsh y ON y.doc_id = id_b
+WHERE round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+            len(list_distinct(list_concat(x.s, y.s))), 4) >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# sessionization: gap-based sessions over the events stream (training-data
+# pipelines sessionize interaction logs; windows partition by user — the
+# shuffle keys on user_id and every window orders one user's rows only)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_S = 21_600  # 6 h
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ganda_spark.operators.sessions import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # second-truncated gaps on BOTH engines (ts carries microseconds):
+    # Spark unix_timestamp truncates; the oracle uses floor(epoch(ts))
+    sess = sessionize(ev, gap_s=SESSION_GAP_S)
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 3)
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+_SQL_SESSIONIZE = f"""
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+f AS (
+  SELECT *, CASE WHEN prev IS NULL
+                   OR CAST(floor(epoch(ts)) AS BIGINT)
+                      - CAST(floor(epoch(prev)) AS BIGINT) > {SESSION_GAP_S}
+                 THEN 1 ELSE 0 END AS nf
+  FROM o
+),
+s AS (
+  SELECT *, sum(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM f
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 3) AS DOUBLE) AS sum_value
+FROM s GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact latency quantiles via bounded-domain histogram (functions/stats.py:
+# the scale-safe exact-percentile form — the shuffle carries ≤ classes ×
+# |latency domain| rows, never the data)
+# ---------------------------------------------------------------------------
+
+
+def q_agg_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ganda_spark.functions.stats import histogram_quantiles
+
+    fetched = mock_fetch_plan(seed_frontier(spark, sf_dir), EngineConfig(retries=1))
+    cls = (
+        F.when(F.col("status") < 400, "ok")
+        .when(F.col("status") < 500, "warn")
+        .otherwise("retryable")
+    )
+    measures = fetched.select(cls.alias("status_class"), "latency_ms")
+    return histogram_quantiles(
+        measures,
+        "latency_ms",
+        ["status_class"],
+        {"p50": 5000, "p95": 9500, "p99": 9900},
+    )
+
+
+_SQL_LATENCY_QUANTILES = f"""
+WITH {_DUCK_FRONTIER}, {_fetched_cte(retries=1)},
+c AS (
+  SELECT CASE WHEN status < 400 THEN 'ok'
+              WHEN status < 500 THEN 'warn' ELSE 'retryable' END AS status_class,
+         latency_ms
+  FROM fetched
+),
+hist AS (SELECT status_class, latency_ms, count(*) AS cnt FROM c GROUP BY 1, 2),
+cum AS (
+  SELECT *, sum(cnt) OVER (PARTITION BY status_class ORDER BY latency_ms
+                           ROWS UNBOUNDED PRECEDING) AS cum,
+            sum(cnt) OVER (PARTITION BY status_class) AS n
+  FROM hist
+),
+p AS (SELECT * FROM (VALUES ('p50', 5000), ('p95', 9500), ('p99', 9900)) AS t(pct, bp))
+SELECT status_class, pct, CAST(n AS BIGINT) AS n, latency_ms AS value
+FROM cum CROSS JOIN p
+WHERE cum >= (n * bp + 9999) // 10000 AND cum - cnt < (n * bp + 9999) // 10000
+"""
+
+
+# ---------------------------------------------------------------------------
+# link-graph host in-degree: the priority signal a frontier scheduler joins
+# (hosts heavily linked from the span corpus get a crawl-priority boost)
+# ---------------------------------------------------------------------------
+
+
+def q_crawl_host_indegree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ganda_spark.functions.urls import url_host
+
+    docs = synth_span_docs(spark, sf_dir)
+    links = extract_urls(docs).withColumn("host", url_host(F.col("url")))
+    return links.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.least(F.floor(F.count(F.lit(1)) / 10), F.lit(5))
+        .cast("long")
+        .alias("priority_boost"),
+    )
+
+
+_SQL_INDEGREE = """
+WITH u AS (
+  SELECT doc_id, concat('host-', CAST(doc_id % 37 AS VARCHAR), '.test') AS host
+  FROM documents
+  UNION ALL
+  SELECT doc_id, concat('img-', CAST(doc_id % 11 AS VARCHAR), '.test') FROM documents
+  UNION ALL
+  SELECT doc_id, 'vid-0.test' FROM documents WHERE doc_id % 3 = 0
+)
+SELECT host, count(*) AS n_links, count(DISTINCT doc_id) AS n_docs,
+       CAST(least(count(*) // 10, 5) AS BIGINT) AS priority_boost
+FROM u GROUP BY host
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1846,4 +2042,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "mm_frame_sample": (q_mm_frame_sample, _SQL_MM_FRAMES),
     "events_hourly": (q_events_hourly, _SQL_EVENTS),
     "agg_pricing_summary": (q_agg_pricing_summary, _SQL_PRICING),
+    # round-3 additions
+    "dedup_minhash_incremental": (q_dedup_minhash_incremental, _sql_minhash_incremental()),
+    "events_sessionize": (q_events_sessionize, _SQL_SESSIONIZE),
+    "agg_latency_quantiles": (q_agg_latency_quantiles, _SQL_LATENCY_QUANTILES),
+    "crawl_host_indegree": (q_crawl_host_indegree, _SQL_INDEGREE),
 }

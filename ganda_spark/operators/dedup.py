@@ -145,6 +145,26 @@ def lsh_band_hashes(sigs: DataFrame, k: int = 8, rows_per_band: int = 2) -> Data
     return out
 
 
+def band_long(
+    banded: DataFrame,
+    id_col: str | None = "doc_id",
+    k: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Long-form band table (band, bh[, id_col]) from the wide band_<b>
+    columns — the join key every LSH pair search shuffles on. id_col=None
+    drops the id (histogram/bound callers need only the bucket key)."""
+    n_bands = k // rows_per_band
+    cols = lambda b: (  # noqa: E731
+        [F.lit(b).alias("band"), F.col(f"band_{b}").alias("bh")]
+        + ([F.col(id_col)] if id_col else [])
+    )
+    out = banded.select(*cols(0))
+    for b in range(1, n_bands):
+        out = out.unionByName(banded.select(*cols(b)))
+    return out
+
+
 def lsh_candidate_pairs(
     banded: DataFrame,
     id_col: str = "doc_id",
@@ -159,16 +179,7 @@ def lsh_candidate_pairs(
     broadcast_bands=True hints one side broadcast — right when the band
     table (n_docs × n_bands × 40 B) fits an executor; at 10^10 docs leave
     False and let the shuffle + AQE handle it."""
-    n_bands = k // rows_per_band
-    per_band = []
-    for b in range(n_bands):
-        x = banded.select(
-            F.lit(b).alias("band"), F.col(f"band_{b}").alias("bh"), F.col(id_col)
-        )
-        per_band.append(x)
-    all_bands = per_band[0]
-    for x in per_band[1:]:
-        all_bands = all_bands.unionByName(x)
+    all_bands = band_long(banded, id_col, k, rows_per_band)
     a = all_bands.alias("a")
     bb = (F.broadcast(all_bands) if broadcast_bands else all_bands).alias("b")
     pairs = (
@@ -203,18 +214,76 @@ def candidate_pair_bound(
     pair set just to count it (the r2 probe job, VERDICT r2 bench
     regression root cause). Sums in DOUBLE: a bound needs magnitude, not
     exactness, and c² on a degenerate 10^10-doc bucket overflows BIGINT."""
-    n_bands = k // rows_per_band
-    per_band = [
-        banded.select(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bh"))
-        for b in range(n_bands)
-    ]
-    allb = per_band[0]
-    for x in per_band[1:]:
-        allb = allb.unionByName(x)
+    allb = band_long(banded, None, k, rows_per_band)
     row = (
         allb.groupBy("band", "bh")
         .agg(F.count(F.lit(1)).cast("double").alias("c"))
         .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("ub"))
+        .collect()[0]
+    )
+    ub = row["ub"] or 0.0
+    return int(min(ub, float(1 << 62)))
+
+
+def incremental_lsh_pairs(
+    banded_base: DataFrame,
+    banded_new: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 8,
+    rows_per_band: int = 2,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Candidate pairs between an incoming batch and an EXISTING corpus —
+    the nightly-ingest dedup shape at 100 TB: the corpus signature/band
+    table is written once (k×8 B + bands per doc) and never rescanned from
+    text; each new batch joins its bands against it. No corpus self-join
+    exists anywhere in the plan, so the cost is one corpus band scan per
+    batch — with broadcast_new=True (the normal case: the batch is orders
+    of magnitude smaller than the corpus) the corpus side never shuffles
+    at all.
+
+    Returns distinct (id_a = corpus doc, id_b = new doc) pairs sharing at
+    least one band hash. New-vs-new duplicates are the ordinary
+    lsh_candidate_pairs over the batch alone (tiny); run both for full
+    coverage."""
+    base_b = band_long(banded_base, id_col, k, rows_per_band)
+    new_b = band_long(banded_new, id_col, k, rows_per_band).withColumnRenamed(
+        id_col, "_new_id"
+    )
+    nb = F.broadcast(new_b) if broadcast_new else new_b
+    return (
+        base_b.join(nb, ["band", "bh"])
+        .where(F.col(id_col) != F.col("_new_id"))
+        .select(F.col(id_col).alias("id_a"), F.col("_new_id").alias("id_b"))
+        .distinct()
+    )
+
+
+def incremental_pair_bound(
+    banded_base: DataFrame,
+    banded_new: DataFrame,
+    k: int = 8,
+    rows_per_band: int = 2,
+) -> int:
+    """Upper bound on incremental candidate pairs without computing them:
+    Σ over (band, bh) buckets of c_base·c_new — two narrow histograms
+    joined on the bucket key (the new-side histogram is batch-sized, so
+    the join broadcasts). Same role as candidate_pair_bound for the
+    self-join case: gates the verify-stage broadcast; DOUBLE sums because
+    a bound needs magnitude, not exactness."""
+    hb = (
+        band_long(banded_base, None, k, rows_per_band)
+        .groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).cast("double").alias("cb"))
+    )
+    hn = (
+        band_long(banded_new, None, k, rows_per_band)
+        .groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).cast("double").alias("cn"))
+    )
+    row = (
+        hb.join(F.broadcast(hn), ["band", "bh"])
+        .agg(F.sum(F.col("cb") * F.col("cn")).alias("ub"))
         .collect()[0]
     )
     ub = row["ub"] or 0.0

@@ -220,3 +220,67 @@ def test_planted_identical_vector_is_rank1(spark, sf_dir):
     out = brute_force_topk(corpus, corpus.where(F.col("vec_id") == 0), k=1)
     row = out.collect()[0]
     assert row["nid"] == 99999 and row["cos_r"] == 1.0
+
+
+def test_incremental_lsh_matches_full_lsh_cross_pairs(spark, sf_dir):
+    """Incremental (batch-vs-corpus) candidate pairs must equal the full
+    self-join pairs restricted to corpus×batch — same buckets, no corpus
+    self-join in the plan."""
+    from ganda_spark.operators.dedup import incremental_lsh_pairs
+
+    docs = _docs(spark, sf_dir)
+    words = F.split("text", " ")
+    batch = docs.where((F.col("doc_id") % 4 == 0) & (F.size(words) > 20)).select(
+        (F.col("doc_id") + 50000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(words, 1, F.size(words) - 3)).alias("text"),
+    )
+    corpus_banded = lsh_band_hashes(minhash_signatures(with_shingles(docs)))
+    batch_banded = lsh_band_hashes(minhash_signatures(with_shingles(batch)))
+    inc = {
+        (r.id_a, r.id_b)
+        for r in incremental_lsh_pairs(corpus_banded, batch_banded).collect()
+    }
+    full_banded = lsh_band_hashes(
+        minhash_signatures(with_shingles(docs.unionByName(batch)))
+    )
+    full = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(full_banded).collect()
+        if r.id_a < 50000 <= r.id_b
+    }
+    assert inc == full and len(inc) > 0
+
+
+def test_incremental_lsh_finds_planted_batch_dups(spark, sf_dir):
+    """Every planted near-dup in the batch is flagged against its corpus
+    original with jaccard >= 0.5 (>=90% recall, same bar as the full
+    LSH), and the pair bound dominates the actual pair count."""
+    from ganda_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        incremental_pair_bound,
+    )
+
+    docs = with_shingles(_docs(spark, sf_dir))
+    words = F.split("text", " ")
+    batch = with_shingles(
+        docs.where((F.col("doc_id") % 4 == 0) & (F.size(words) > 20)).select(
+            (F.col("doc_id") + 50000).alias("doc_id"),
+            F.concat_ws(" ", F.slice(F.split("text", " "), 1, F.size(F.split("text", " ")) - 3)).alias("text"),
+        )
+    )
+    n_planted = batch.count()
+    corpus_banded = lsh_band_hashes(minhash_signatures(docs))
+    batch_banded = lsh_band_hashes(minhash_signatures(batch))
+    pairs = incremental_lsh_pairs(corpus_banded, batch_banded)
+    ub = incremental_pair_bound(corpus_banded, batch_banded)
+    assert pairs.count() <= ub
+    verified = jaccard_verify(
+        pairs, docs.unionByName(batch), broadcast_pairs=ub <= 5_000_000
+    )
+    hits = (
+        verified.where(
+            (F.col("jaccard") >= 0.5) & (F.col("id_b") == F.col("id_a") + 50000)
+        )
+        .count()
+    )
+    assert hits >= 0.9 * n_planted
