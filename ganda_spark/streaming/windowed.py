@@ -59,6 +59,48 @@ def windowed_event_counts(
     )
 
 
+SESSION_EVENT_SCHEMA = "ts timestamp, user_id long, value double"
+
+
+def session_window_counts(
+    spark: SparkSession,
+    input_dir: str,
+    gap: str = "30 minutes",
+    lateness: str = "30 minutes",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming sessionization via the engine's native session_window: a
+    session closes when no event arrives for `gap`, and (append mode) is
+    emitted exactly once, when the watermark passes its end. The streaming
+    complement of operators/sessions.sessionize — same gap semantics, but
+    over an unbounded stream with watermark-bounded state.
+
+    Scale posture: state is per (user, open session); the watermark evicts
+    closed sessions, so state is O(concurrently-active sessions), not
+    O(events). The shuffle keys on user_id — identical placement to the
+    batch sessionizer."""
+    events = (
+        spark.readStream.schema(SESSION_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(input_dir)
+    )
+    return (
+        events.withWatermark("ts", lateness)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def run_windowed_to_parquet(
     agg: DataFrame, output_dir: str, checkpoint_dir: str
 ):

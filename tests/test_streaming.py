@@ -262,3 +262,67 @@ def test_streaming_crawl_exactly_once(spark, tmp_path):
     errors2 = spark.read.parquet(os.path.join(out_dir, "errors"))
     assert results2.count() + errors2.count() == 100  # +20, not re-crawled
     assert results2.select("url").distinct().count() == results2.count()
+
+
+def test_streaming_session_window_merges_and_closes(spark, tmp_path):
+    """Native session_window sessionization: events within the gap merge
+    into one session (window extends per event); a quiet period closes it,
+    and append mode emits each closed session exactly once."""
+    import json
+    import os
+    import time
+
+    from ganda_spark.streaming.windowed import (
+        run_windowed_to_parquet,
+        session_window_counts,
+    )
+
+    in_dir = str(tmp_path / "sess_ev")
+    os.makedirs(in_dir)
+
+    def write(name, rows):
+        with open(os.path.join(in_dir, name), "w") as f:
+            for ts, uid, v in rows:
+                f.write(json.dumps({"ts": ts, "user_id": uid, "value": v}) + "\n")
+        time.sleep(0.05)
+
+    # user 1: three events 10 min apart → ONE session (gap 30 min);
+    # user 2: two events 2 h apart → TWO sessions
+    write("f1.json", [
+        ("2026-01-01 10:00:00", 1, 1.0),
+        ("2026-01-01 10:10:00", 1, 2.0),
+        ("2026-01-01 10:20:00", 1, 3.0),
+        ("2026-01-01 10:00:00", 2, 5.0),
+        ("2026-01-01 12:00:00", 2, 7.0),
+    ])
+    # advance the watermark far enough to close and emit everything
+    write("f2.json", [("2026-01-01 20:00:00", 9, 0.0)])
+    write("f3.json", [("2026-01-02 08:00:00", 9, 0.0)])
+
+    agg = session_window_counts(
+        spark, in_dir, gap="30 minutes", lateness="30 minutes",
+        max_files_per_trigger=1,
+    )
+    q = run_windowed_to_parquet(
+        agg, str(tmp_path / "sessout"), str(tmp_path / "sessckpt")
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "sessout"))
+    rows = {
+        (r["user_id"], r["session_start"].hour): (r["n_events"], r["sum_value"])
+        for r in out.collect()
+        if r["user_id"] in (1, 2)
+    }
+    # user 1's three events merged into one session spanning 10:00-10:50
+    assert rows[(1, 10)] == (3, 6.0)
+    # user 2: two separate sessions
+    assert rows[(2, 10)] == (1, 5.0)
+    assert rows[(2, 12)] == (1, 7.0)
+    # session end = last event + gap
+    ends = {
+        (r["user_id"], r["session_start"].hour): r["session_end"]
+        for r in out.collect()
+    }
+    assert ends[(1, 10)].hour == 10 and ends[(1, 10)].minute == 50
+    # exactly-once emission per closed session
+    assert out.count() == out.select("user_id", "session_start").distinct().count()
