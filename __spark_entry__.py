@@ -1991,6 +1991,86 @@ FROM u GROUP BY host
 
 
 # ---------------------------------------------------------------------------
+# deterministic sampling + train/holdout split (operators/sampling.py): the
+# corpus sample must be reproducible and auditable — hash order, not RNG
+# ---------------------------------------------------------------------------
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ganda_spark.operators.sampling import sample_hash_col, stratified_take
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang"
+    )
+    take = stratified_take(docs, ["lang"], k=20, key_col="doc_id")
+    return take.select(
+        "doc_id",
+        "lang",
+        "sample_rank",
+        sample_hash_col("doc_id", 1000).alias("is_holdout"),  # 10% split
+    )
+
+
+_SQL_SAMPLE = """
+WITH r AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS sample_rank,
+         (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+            % 10000) < 1000 AS is_holdout
+  FROM documents
+)
+SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank, is_holdout
+FROM r WHERE sample_rank <= 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# sequence packing: fill ~budget-token bins per shard (the LLM training
+# batch-construction op); cumulative-mass next-fit, deterministic by hash
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET_TOKENS = 1_000
+
+
+def q_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ganda_spark.functions.text import token_counts
+    from ganda_spark.operators.sampling import pack_next_fit
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "text"
+    )
+    sized = token_counts(docs).withColumnRenamed("n_ws_tokens", "n_tok")
+    packed = pack_next_fit(
+        sized, "n_tok", PACK_BUDGET_TOKENS, ["lang"], key_col="doc_id"
+    )
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+    )
+
+
+_SQL_PACK = f"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT *, coalesce(sum(n_tok) OVER (
+              PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM t
+)
+SELECT lang, CAST(prev // {PACK_BUDGET_TOKENS} AS BIGINT) AS bin_id,
+       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
+FROM c GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2047,4 +2127,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "events_sessionize": (q_events_sessionize, _SQL_SESSIONIZE),
     "agg_latency_quantiles": (q_agg_latency_quantiles, _SQL_LATENCY_QUANTILES),
     "crawl_host_indegree": (q_crawl_host_indegree, _SQL_INDEGREE),
+    "sample_stratified": (q_sample_stratified, _SQL_SAMPLE),
+    "pack_token_budget": (q_pack_token_budget, _SQL_PACK),
 }

@@ -1,0 +1,84 @@
+"""Deterministic sampling, splitting, and sequence packing for training-
+data pipelines.
+
+Randomness here is a liability: a corpus sample must be REPRODUCIBLE
+(re-running the pipeline yields the same training set), stable under
+repartitioning, and auditable by an external engine. So every operator
+derives its "randomness" from a content hash (md5 of the row key) instead
+of an RNG — the classic deterministic-split trick, and the reason an
+external SQL oracle can verify these bit-for-bit.
+
+Scale posture:
+  * hash_sample / split columns are pure projections — zero shuffle, they
+    vanish into whole-stage codegen and compose with any scan.
+  * stratified_take shuffles once on the group key; the window orders one
+    group's rows (parallelism = group cardinality; AQE splits skewed
+    groups at the exchange).
+  * pack_next_fit shuffles once on the shard key; a cumulative-sum window
+    per shard assigns bins. Shards are the parallelism knob — at 10^10
+    docs use O(10^4) hash shards so each window stays executor-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ganda_spark.operators.dedup import md5_int
+
+
+def sample_hash_col(key_col: str, rate_bp: int) -> Column:
+    """Deterministic Bernoulli keep-flag: md5(key) % 10000 < rate_bp.
+    A pure projection (no shuffle, no RNG state); the same row always
+    lands on the same side, on any engine that can compute md5."""
+    return F.expr(f"pmod({md5_int(f'CAST({key_col} AS STRING)')}, 10000)") < rate_bp
+
+
+def stratified_take(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    key_col: str,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group, chosen by hash order — a
+    deterministic stratified sample ("n examples per language/source").
+    One shuffle on the group key; the md5 hex string is the sort key
+    (uniformly shuffled, engine-portable), key_col breaks ties."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.md5(F.col(key_col).cast("string")), key_col
+    )
+    return (
+        df.withColumn(rank_col, F.row_number().over(w).cast("long"))
+        .where(F.col(rank_col) <= k)
+    )
+
+
+def pack_next_fit(
+    df: DataFrame,
+    size_col: str,
+    budget: int,
+    shard_cols: list[str],
+    key_col: str,
+    bin_col: str = "bin_id",
+) -> DataFrame:
+    """Pack rows into ~budget-sized bins per shard (LLM sequence packing:
+    fill each training sequence to the token budget). Deterministic
+    cumulative-mass binning: rows are ordered by (md5(key), key) within
+    the shard and bin b holds the rows whose PRECEDING cumulative size
+    lies in [b·budget, (b+1)·budget) — the streaming next-fit shape, so a
+    bin can overshoot by less than one row's size (document the budget as
+    a soft target; oversized single rows should be split upstream).
+
+    One shuffle on the shard key; the cumulative window runs per shard.
+    """
+    w = Window.partitionBy(*shard_cols).orderBy(
+        F.md5(F.col(key_col).cast("string")), key_col
+    )
+    prev_cum = F.coalesce(
+        F.sum(size_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return df.withColumn(
+        bin_col, F.floor(prev_cum / budget).cast("long")
+    )

@@ -1,0 +1,87 @@
+"""Deterministic sampling + packing: reproducibility under repartition,
+exact per-group cardinality, monotone sample nesting, bin-size bounds."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ganda_spark.operators.ranking import assert_no_global_window
+from ganda_spark.operators.sampling import (
+    pack_next_fit,
+    sample_hash_col,
+    stratified_take,
+)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang"
+    )
+
+
+def test_stratified_take_exact_k_and_deterministic(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    out = stratified_take(docs, ["lang"], k=10, key_col="doc_id")
+    per_group = {r.lang: r.n for r in out.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    sizes = {r.lang: r.n for r in docs.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    for lang, n in per_group.items():
+        assert n == min(10, sizes[lang])
+    # repartitioning must not change the chosen set (hash order is total)
+    again = stratified_take(docs.repartition(16), ["lang"], k=10, key_col="doc_id")
+    assert {(r.doc_id, r.sample_rank) for r in out.collect()} == {
+        (r.doc_id, r.sample_rank) for r in again.collect()
+    }
+
+
+def test_stratified_samples_nest(spark, sf_dir):
+    """Rank-based sampling nests: the k=5 sample is a subset of the k=15
+    sample — growing a dataset never reshuffles what was already chosen."""
+    docs = _docs(spark, sf_dir)
+    small = {r.doc_id for r in stratified_take(docs, ["lang"], 5, "doc_id").collect()}
+    big = {r.doc_id for r in stratified_take(docs, ["lang"], 15, "doc_id").collect()}
+    assert small < big
+
+
+def test_hash_split_is_stable_and_roughly_sized(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    flagged = docs.select("doc_id", sample_hash_col("doc_id", 2000).alias("ho"))
+    n = docs.count()
+    k = flagged.where("ho").count()
+    assert 0.1 * n < k < 0.3 * n  # 20% ± wide tolerance at sf0.001
+    # same rows on re-evaluation from a different partitioning
+    k2 = {r.doc_id for r in flagged.where("ho").collect()}
+    k3 = {
+        r.doc_id
+        for r in docs.repartition(8)
+        .select("doc_id", sample_hash_col("doc_id", 2000).alias("ho"))
+        .where("ho")
+        .collect()
+    }
+    assert k2 == k3
+
+
+def test_pack_next_fit_bounds_and_coverage(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    budget = 500
+    packed = pack_next_fit(docs, "n_tok", budget, ["lang"], key_col="doc_id")
+    assert packed.count() == docs.count()  # every row assigned
+    bins = packed.groupBy("lang", "bin_id").agg(
+        F.sum("n_tok").alias("tot"), F.max("n_tok").alias("mx")
+    )
+    # next-fit bound: a bin exceeds the budget by less than its largest row
+    assert bins.where(F.col("tot") >= budget + F.col("mx")).count() == 0
+    # bins are contiguous ordinals 0..max per shard
+    for r in bins.groupBy("lang").agg(
+        F.min("bin_id").alias("lo"),
+        F.max("bin_id").alias("hi"),
+        F.countDistinct("bin_id").alias("nb"),
+    ).collect():
+        assert r.lo == 0 and r.nb == r.hi + 1
+    # plan: windows partitioned by shard, nothing global, no python
+    assert_no_global_window(packed)
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
