@@ -1815,10 +1815,12 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = with_shingles(_near_corpus(spark, sf_dir)).persist()
-    base = docs.where(F.col("doc_id") < 100000)
-    new = docs.where(F.col("doc_id") >= 100000)
-    banded_base = lsh_band_hashes(minhash_signatures(base, k=8), k=8, rows_per_band=2).persist()
-    banded_new = lsh_band_hashes(minhash_signatures(new, k=8), k=8, rows_per_band=2).persist()
+    # one signature/band pass over corpus ∪ batch, split by id — at scale
+    # the corpus side is the prebuilt signature table and only the batch
+    # side is computed fresh; here both derive from one cached pass
+    banded = lsh_band_hashes(minhash_signatures(docs, k=8), k=8, rows_per_band=2).persist()
+    banded_base = banded.where(F.col("doc_id") < 100000)
+    banded_new = banded.where(F.col("doc_id") >= 100000)
     ub = incremental_pair_bound(banded_base, banded_new)
     pairs = incremental_lsh_pairs(banded_base, banded_new)
     verified = jaccard_verify(pairs, docs, broadcast_pairs=ub <= 5_000_000)

@@ -85,6 +85,13 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict, dict, dict]:
     stats["dedup_hybrid_sec"] = hybrid_sec
     stats["dedup_hybrid_rows_per_sec"] = round(n_frontier / hybrid_sec)
 
+    # 2c. incremental dedup (batch-vs-corpus LSH): the nightly-ingest path.
+    # Reported under stats like 2b — not summed into the headline, which
+    # stays composition-stable across rounds.
+    t0 = time.time()
+    _materialize(entry.queries()["dedup_minhash_incremental"](spark, sf_dir))
+    stats["dedup_incremental_sec"] = round(time.time() - t0, 3)
+
     # 3. the rest of the headline set via the driver-contract queries
     for name in (
         "k1_crawl_pipeline",
