@@ -1192,7 +1192,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.where(F.col("jaccard") >= 0.5)
 
 
-def _sql_minhash_lsh() -> str:
+def _sql_lsh_verified(pair_predicate: str) -> str:
+    """Shared oracle body for the LSH near-dup queries: sig/band/pairs/
+    jaccard CTEs with the candidate-pair predicate as the only variation
+    (self-join form vs incremental corpus×batch form)."""
     sig_cols = _duck_sig_cols()
     band_cols = ", ".join(
         f"md5(concat(CAST(sig_{2*b} AS VARCHAR), '_', CAST(sig_{2*b+1} AS VARCHAR)))"
@@ -1210,7 +1213,7 @@ allbands AS ({band_union}),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM allbands a JOIN allbands b USING (band, bh)
-  WHERE a.doc_id < b.doc_id
+  WHERE {pair_predicate}
 ),
 dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh)
 SELECT id_a, id_b,
@@ -1220,6 +1223,10 @@ FROM pairs JOIN dsh x ON x.doc_id = id_a JOIN dsh y ON y.doc_id = id_b
 WHERE round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
             len(list_distinct(list_concat(x.s, y.s))), 4) >= 0.5
 """
+
+
+def _sql_minhash_lsh() -> str:
+    return _sql_lsh_verified("a.doc_id < b.doc_id")
 
 
 # --- simhash -----------------------------------------------------------------
@@ -1828,33 +1835,7 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_minhash_incremental() -> str:
-    sig_cols = _duck_sig_cols()
-    band_cols = ", ".join(
-        f"md5(concat(CAST(sig_{2*b} AS VARCHAR), '_', CAST(sig_{2*b+1} AS VARCHAR)))"
-        f" AS band_{b}"
-        for b in range(4)
-    )
-    band_union = "\nUNION ALL\n".join(
-        f"SELECT {b} AS band, band_{b} AS bh, doc_id FROM banded" for b in range(4)
-    )
-    return f"""
-WITH {_DUCK_NEAR_CORPUS}, {_DUCK_SHINGLES},
-sigs AS (SELECT doc_id, shingles, {sig_cols} FROM sh),
-banded AS (SELECT *, {band_cols} FROM sigs),
-allbands AS ({band_union}),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM allbands a JOIN allbands b USING (band, bh)
-  WHERE a.doc_id < 100000 AND b.doc_id >= 100000
-),
-dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh)
-SELECT id_a, id_b,
-       round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
-             len(list_distinct(list_concat(x.s, y.s))), 4) AS jaccard
-FROM pairs JOIN dsh x ON x.doc_id = id_a JOIN dsh y ON y.doc_id = id_b
-WHERE round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
-            len(list_distinct(list_concat(x.s, y.s))), 4) >= 0.5
-"""
+    return _sql_lsh_verified("a.doc_id < 100000 AND b.doc_id >= 100000")
 
 
 # ---------------------------------------------------------------------------

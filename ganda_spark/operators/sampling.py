@@ -79,6 +79,8 @@ def pack_next_fit(
         F.sum(size_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0),
     )
-    return df.withColumn(
-        bin_col, F.floor(prev_cum / budget).cast("long")
-    )
+    # integer DIV, not float floor(x/b): doubles round across a bin
+    # boundary past 2^53 cumulative mass, breaking oracle-exactness
+    return df.withColumn("_prev_cum", prev_cum).withColumn(
+        bin_col, F.expr(f"CAST(_prev_cum DIV {budget} AS BIGINT)")
+    ).drop("_prev_cum")

@@ -222,6 +222,17 @@ def test_planted_identical_vector_is_rank1(spark, sf_dir):
     assert row["nid"] == 99999 and row["cos_r"] == 1.0
 
 
+def _mutated_batch(docs):
+    """The planted-near-dup batch both incremental tests share: every 4th
+    doc (long enough to survive shingling) copied to id+50000 with its
+    last 3 words dropped."""
+    words = F.split("text", " ")
+    return docs.where((F.col("doc_id") % 4 == 0) & (F.size(words) > 20)).select(
+        (F.col("doc_id") + 50000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(words, 1, F.size(words) - 3)).alias("text"),
+    )
+
+
 def test_incremental_lsh_matches_full_lsh_cross_pairs(spark, sf_dir):
     """Incremental (batch-vs-corpus) candidate pairs must equal the full
     self-join pairs restricted to corpus×batch — same buckets, no corpus
@@ -229,11 +240,7 @@ def test_incremental_lsh_matches_full_lsh_cross_pairs(spark, sf_dir):
     from ganda_spark.operators.dedup import incremental_lsh_pairs
 
     docs = _docs(spark, sf_dir)
-    words = F.split("text", " ")
-    batch = docs.where((F.col("doc_id") % 4 == 0) & (F.size(words) > 20)).select(
-        (F.col("doc_id") + 50000).alias("doc_id"),
-        F.concat_ws(" ", F.slice(words, 1, F.size(words) - 3)).alias("text"),
-    )
+    batch = _mutated_batch(docs)
     corpus_banded = lsh_band_hashes(minhash_signatures(with_shingles(docs)))
     batch_banded = lsh_band_hashes(minhash_signatures(with_shingles(batch)))
     inc = {
@@ -260,14 +267,9 @@ def test_incremental_lsh_finds_planted_batch_dups(spark, sf_dir):
         incremental_pair_bound,
     )
 
-    docs = with_shingles(_docs(spark, sf_dir))
-    words = F.split("text", " ")
-    batch = with_shingles(
-        docs.where((F.col("doc_id") % 4 == 0) & (F.size(words) > 20)).select(
-            (F.col("doc_id") + 50000).alias("doc_id"),
-            F.concat_ws(" ", F.slice(F.split("text", " "), 1, F.size(F.split("text", " ")) - 3)).alias("text"),
-        )
-    )
+    raw = _docs(spark, sf_dir)
+    docs = with_shingles(raw)
+    batch = with_shingles(_mutated_batch(raw))
     n_planted = batch.count()
     corpus_banded = lsh_band_hashes(minhash_signatures(docs))
     batch_banded = lsh_band_hashes(minhash_signatures(batch))
