@@ -17,6 +17,7 @@ frontier also GROWS mid-run (the realistic shape).
 
 Usage: python tools/rehearsal.py [--generations N] [--sf-dir DIR]
                                  [--seen-strategy exact|hybrid|cuckoo]
+                                 [--replicas K]  (K x 150k seed URLs)
 Prints one markdown table + one JSON line (for BASELINE.md).
 """
 
@@ -37,14 +38,14 @@ from ganda_spark.session import get_spark  # noqa: E402
 from ganda_spark.sources.frontier import seed_frontier  # noqa: E402
 from ganda_spark.streaming.frontier_loop import CrawlDriver  # noqa: E402
 
-REPLICAS = 7  # 150k × 7 = 1.05M seed URLs
+REPLICAS = 7  # 150k × 7 = 1.05M seed URLs (--replicas overrides: 70 → 10.5M)
 GLOBAL_BUDGET = 150_000
 
 
-def build_seed(spark, sf_dir: str):
+def build_seed(spark, sf_dir: str, replicas: int = REPLICAS):
     base = seed_frontier(spark, sf_dir)
     parts = []
-    for r in range(REPLICAS):
+    for r in range(replicas):
         parts.append(
             base.select(
                 (F.col("seq") + F.lit(r * 10_000_000)).alias("seq"),
@@ -83,6 +84,9 @@ def main() -> int:
     strategy = "exact"
     if "--seen-strategy" in sys.argv:
         strategy = sys.argv[sys.argv.index("--seen-strategy") + 1]
+    replicas = REPLICAS
+    if "--replicas" in sys.argv:
+        replicas = int(sys.argv[sys.argv.index("--replicas") + 1])
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     spark = get_spark("rehearsal", cores=cores)
@@ -98,7 +102,7 @@ def main() -> int:
         spark, cfg, ckpt, discover=discover, global_budget=GLOBAL_BUDGET,
         seen_strategy=strategy,
     )
-    seed = build_seed(spark, sf_dir)
+    seed = build_seed(spark, sf_dir, replicas)
 
     gen, frontier, seen = driver.load_state(seed)
     rows = []
@@ -139,7 +143,7 @@ def main() -> int:
     steady = [r["wall_s"] for r in rows[1:]]
     flat = max(steady) / min(steady) if steady else 0.0
     summary = {
-        "metric": "rehearsal per-generation wall (10^6-URL frontier, global_budget=150k)",
+        "metric": f"rehearsal per-generation wall ({replicas * 150_000}-URL frontier, global_budget=150k)",
         "generations": len(rows),
         "walls_s": [r["wall_s"] for r in rows],
         "steady_spread": round(flat, 3),
