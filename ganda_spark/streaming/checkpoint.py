@@ -82,7 +82,9 @@ class CheckpointStore:
         gens = self.committed_generations()
         if not gens:
             return None
-        gen = gens[-1]
+        return self.snapshot(gens[-1])
+
+    def snapshot(self, gen: int) -> Snapshot:
         with open(os.path.join(self._gen_dir(gen), "manifest.json")) as f:
             return Snapshot(gen, self._gen_dir(gen), json.load(f))
 

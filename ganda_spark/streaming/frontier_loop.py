@@ -62,6 +62,8 @@ class CrawlDriver:
         fetcher: Callable[[DataFrame, EngineConfig], DataFrame] | None = None,
         global_budget: int | None = None,
         seen_strategy: str = "exact",
+        checkpoint_mode: str = "full",
+        compact_every: int = 8,
     ):
         """discover: results DataFrame → new frontier rows
         (seq, url, host, priority, context) — e.g. extract_urls over span
@@ -89,7 +91,34 @@ class CrawlDriver:
         RETRACTION, e.g. re-crawl scheduling deletes a url to make it
         fetchable again; merge spills to an overflow set so membership
         stays no-false-negative). On resume the prefilter is rebuilt once
-        from the committed seen table."""
+        from the committed seen table.
+
+        checkpoint_mode: 'full' rewrites the whole frontier + seen tables
+        every generation — correct, but at a 10^10-row frontier the
+        rewrite IS the generation cost (measured: the 10.5M rehearsal's
+        per-generation wall is dominated by it, BASELINE.md). 'delta'
+        commits only what changed — frontier_adds (redeliver ∪ discovered,
+        budget-sized), frontier_removes (released seqs), seen_adds (newly
+        seen urls) — and compacts to a full snapshot every
+        `compact_every` generations, the parquet analog of Iceberg v2
+        delete files + table maintenance. Read-back reconstructs the
+        logical table: base ∪ adds, anti-joined against removes whose
+        commit generation is later than the row's (so a seq released at
+        gen g and re-added by redelivery at g survives). Plans stay
+        bounded: ≤ compact_every unions + one anti-join against a
+        broadcast-sized remove set.
+
+        Delta-mode semantic note: rows dropped by the seen anti-join or
+        robots gate LINGER in the stored frontier until the next
+        compaction (they are re-filtered each generation, so released
+        rows, results and the seen set are identical to full mode);
+        eligible/dedup_dropped metrics count those lingering rows again
+        each generation. Removes are keyed by (seq, url): a seq collision
+        between unrelated rows (e.g. a discover offset landing on another
+        seed range) cannot delete an innocent row, because its url
+        differs; only true (seq, url) duplicates among LIVE rows would
+        conflate, and the seed/discover/redeliver construction never
+        produces those."""
         self.spark = spark
         self.cfg = cfg
         self.store = CheckpointStore(checkpoint_dir)
@@ -101,7 +130,64 @@ class CrawlDriver:
         if seen_strategy not in ("exact", "hybrid", "cuckoo"):
             raise ValueError(f"unknown seen_strategy {seen_strategy!r}")
         self.seen_strategy = seen_strategy
+        if checkpoint_mode not in ("full", "delta"):
+            raise ValueError(f"unknown checkpoint_mode {checkpoint_mode!r}")
+        self.checkpoint_mode = checkpoint_mode
+        self.compact_every = max(compact_every, 1)
         self._bloom = None  # lazily built/grown prefilter (bloom OR cuckoo)
+
+    # -- delta-mode table reconstruction -------------------------------------
+
+    def _latest_full_gen(self, upto: int, table: str) -> int:
+        for g in reversed(self.store.committed_generations()):
+            if g <= upto and table in self.store.snapshot(g).manifest["tables"]:
+                return g
+        raise ValueError(f"no full {table!r} snapshot at or before gen {upto}")
+
+    def _read_table(self, gen: int, table: str, adds: str, removes: str | None) -> DataFrame:
+        """Logical state of `table` at generation `gen`: the latest full
+        snapshot ∪ later adds, minus removes committed after a row's own
+        commit generation (_batch_id, stamped by CheckpointStore). The
+        remove set is delta-sized → broadcast anti-join; unions are
+        bounded by compact_every."""
+        base_gen = self._latest_full_gen(gen, table)
+        if base_gen == gen:
+            return self.store.read(self.spark, gen, table)
+        parts = [self.store.read_lineage(self.spark, base_gen, table)]
+        rem_parts = []
+        for g in range(base_gen + 1, gen + 1):
+            tables = self.store.snapshot(g).manifest["tables"]
+            if adds in tables:
+                parts.append(self.store.read_lineage(self.spark, g, adds))
+            if removes is not None and removes in tables:
+                rem_parts.append(
+                    self.store.read_lineage(self.spark, g, removes).select(
+                        F.col("seq").alias("_rm_seq"),
+                        F.col("url").alias("_rm_url"),
+                        F.col("_batch_id").alias("_rm_gen"),
+                    )
+                )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        if rem_parts:
+            rem = rem_parts[0]
+            for p in rem_parts[1:]:
+                rem = rem.unionByName(p)
+            out = out.alias("t").join(
+                F.broadcast(rem.alias("r")),
+                (F.col("t.seq") == F.col("r._rm_seq"))
+                & (F.col("t.url") == F.col("r._rm_url"))
+                & (F.col("r._rm_gen") > F.col("t._batch_id")),
+                "left_anti",
+            )
+        return out.drop("_batch_id", "_partition_id")
+
+    def _read_frontier(self, gen: int) -> DataFrame:
+        return self._read_table(gen, "frontier", "frontier_adds", "frontier_removes")
+
+    def _read_seen(self, gen: int) -> DataFrame:
+        return self._read_table(gen, "seen", "seen_adds", None)
 
     # -- resume -------------------------------------------------------------
 
@@ -112,8 +198,8 @@ class CrawlDriver:
         if snap is None:
             empty_seen = self.spark.createDataFrame([], "url string")
             return 0, _with_retry_cols(seed), empty_seen
-        frontier = self.store.read(self.spark, snap.generation, "frontier")
-        seen = self.store.read(self.spark, snap.generation, "seen")
+        frontier = self._read_frontier(snap.generation)
+        seen = self._read_seen(snap.generation)
         if self.seen_strategy == "hybrid":
             # resume: rebuild the bloom ONCE from the committed seen table
             # (treeAggregate — sqrt(P) driver ingress, operators/seen.py)
@@ -210,15 +296,16 @@ class CrawlDriver:
             )
         )
 
-        next_frontier = deferred.select(*redeliver.columns).unionByName(
-            held.select(*redeliver.columns)
-        ).unionByName(redeliver)
-
+        gen_adds = redeliver
         if self.discover is not None:
             discovered = _with_retry_cols(self.discover(results)).select(
                 *redeliver.columns
             )
-            next_frontier = next_frontier.unionByName(discovered)
+            gen_adds = gen_adds.unionByName(discovered)
+
+        next_frontier = deferred.select(*redeliver.columns).unionByName(
+            held.select(*redeliver.columns)
+        ).unionByName(gen_adds)
 
         # seen = fetched OK ∪ permanently failed. NOT the redelivered rows —
         # they must survive the next generation's anti-join.
@@ -258,19 +345,31 @@ class CrawlDriver:
             "results": n_results,
             "errors": errors.count(),
         }
-        self.store.commit(
-            gen,
-            {
+        full = self.checkpoint_mode == "full" or gen % self.compact_every == 0
+        if full:
+            # compaction / full mode: the complete folded state
+            tables = {
                 "results": results,
                 "errors": errors,
                 "frontier": next_frontier,
                 "seen": next_seen,
-            },
-            metrics,
-        )
+            }
+        else:
+            # delta mode: only what changed this generation — budget-sized
+            # writes instead of a full-frontier + full-seen rewrite
+            tables = {
+                "results": results,
+                "errors": errors,
+                "frontier_adds": gen_adds,
+                "frontier_removes": released.select("seq", "url"),
+                "seen_adds": newly_seen,
+            }
+        self.store.commit(gen, tables, metrics)
         # read back the committed state: truncates lineage, keeps plans flat
-        committed_frontier = self.store.read(self.spark, gen, "frontier")
-        committed_seen = self.store.read(self.spark, gen, "seen")
+        # (delta mode: bounded reconstruction — ≤ compact_every unions + one
+        # broadcast anti-join, see _read_table)
+        committed_frontier = self._read_frontier(gen)
+        committed_seen = self._read_seen(gen)
         if self.seen_strategy == "hybrid":
             # grow the bloom by THIS generation's delta only — a
             # treeAggregate over newly_seen (released-count rows), never a

@@ -18,6 +18,7 @@ frontier also GROWS mid-run (the realistic shape).
 Usage: python tools/rehearsal.py [--generations N] [--sf-dir DIR]
                                  [--seen-strategy exact|hybrid|cuckoo]
                                  [--replicas K]  (K x 150k seed URLs)
+                                 [--checkpoint-mode full|delta]
 Prints one markdown table + one JSON line (for BASELINE.md).
 """
 
@@ -62,11 +63,12 @@ def build_seed(spark, sf_dir: str, replicas: int = REPLICAS):
 
 
 def discover(results):
-    # ~10% of fetched pages link one depth-1 child (bounded fan-out)
+    # ~10% of fetched pages link one depth-1 child (bounded fan-out);
+    # the 1e9 offset stays clear of every replica's seed-seq range
     return results.where(
         (F.col("seq") % 10 == 0) & (~F.col("url").contains("/next"))
     ).select(
-        (F.col("seq") + 100_000_000).alias("seq"),
+        (F.col("seq") + 1_000_000_000).alias("seq"),
         F.concat(F.col("url"), F.lit("/next")).alias("url"),
         "host",
         "priority",
@@ -87,6 +89,9 @@ def main() -> int:
     replicas = REPLICAS
     if "--replicas" in sys.argv:
         replicas = int(sys.argv[sys.argv.index("--replicas") + 1])
+    ckpt_mode = "full"
+    if "--checkpoint-mode" in sys.argv:
+        ckpt_mode = sys.argv[sys.argv.index("--checkpoint-mode") + 1]
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     spark = get_spark("rehearsal", cores=cores)
@@ -100,7 +105,7 @@ def main() -> int:
     )
     driver = CrawlDriver(
         spark, cfg, ckpt, discover=discover, global_budget=GLOBAL_BUDGET,
-        seen_strategy=strategy,
+        seen_strategy=strategy, checkpoint_mode=ckpt_mode,
     )
     seed = build_seed(spark, sf_dir, replicas)
 
@@ -151,6 +156,7 @@ def main() -> int:
         "cores": cores,
         "sf": sf_dir.rsplit("sf", 1)[-1],
         "seen_strategy": strategy,
+        "checkpoint_mode": ckpt_mode,
     }
     print(json.dumps(summary))
     return 0
