@@ -1192,10 +1192,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.where(F.col("jaccard") >= 0.5)
 
 
-def _sql_lsh_verified(pair_predicate: str) -> str:
-    """Shared oracle body for the LSH near-dup queries: sig/band/pairs/
-    jaccard CTEs with the candidate-pair predicate as the only variation
-    (self-join form vs incremental corpus×batch form)."""
+def _sql_lsh_ctes(pair_predicate: str) -> str:
+    """Shared oracle CTE chain for the LSH near-dup queries — sig/band/
+    pairs/jaccard, ending at a `verified` CTE (id_a, id_b, jaccard ≥ 0.5).
+    The candidate-pair predicate is the only variation (self-join form vs
+    incremental corpus×batch form); cluster oracles extend the chain."""
     sig_cols = _duck_sig_cols()
     band_cols = ", ".join(
         f"md5(concat(CAST(sig_{2*b} AS VARCHAR), '_', CAST(sig_{2*b+1} AS VARCHAR)))"
@@ -1205,8 +1206,11 @@ def _sql_lsh_verified(pair_predicate: str) -> str:
     band_union = "\nUNION ALL\n".join(
         f"SELECT {b} AS band, band_{b} AS bh, doc_id FROM banded" for b in range(4)
     )
-    return f"""
-WITH {_DUCK_NEAR_CORPUS}, {_DUCK_SHINGLES},
+    jac = (
+        "round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /\n"
+        "             len(list_distinct(list_concat(x.s, y.s))), 4)"
+    )
+    return f"""{_DUCK_NEAR_CORPUS}, {_DUCK_SHINGLES},
 sigs AS (SELECT doc_id, shingles, {sig_cols} FROM sh),
 banded AS (SELECT *, {band_cols} FROM sigs),
 allbands AS ({band_union}),
@@ -1215,18 +1219,19 @@ pairs AS (
   FROM allbands a JOIN allbands b USING (band, bh)
   WHERE {pair_predicate}
 ),
-dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh)
-SELECT id_a, id_b,
-       round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
-             len(list_distinct(list_concat(x.s, y.s))), 4) AS jaccard
-FROM pairs JOIN dsh x ON x.doc_id = id_a JOIN dsh y ON y.doc_id = id_b
-WHERE round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
-            len(list_distinct(list_concat(x.s, y.s))), 4) >= 0.5
-"""
+dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+verified AS (
+  SELECT id_a, id_b, {jac} AS jaccard
+  FROM pairs JOIN dsh x ON x.doc_id = id_a JOIN dsh y ON y.doc_id = id_b
+  WHERE {jac} >= 0.5
+)"""
 
 
 def _sql_minhash_lsh() -> str:
-    return _sql_lsh_verified("a.doc_id < b.doc_id")
+    return (
+        f"WITH {_sql_lsh_ctes('a.doc_id < b.doc_id')}\n"
+        "SELECT id_a, id_b, jaccard FROM verified"
+    )
 
 
 # --- simhash -----------------------------------------------------------------
@@ -1835,7 +1840,64 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_minhash_incremental() -> str:
-    return _sql_lsh_verified("a.doc_id < 100000 AND b.doc_id >= 100000")
+    return (
+        f"WITH {_sql_lsh_ctes('a.doc_id < 100000 AND b.doc_id >= 100000')}\n"
+        "SELECT id_a, id_b, jaccard FROM verified"
+    )
+
+
+# ---------------------------------------------------------------------------
+# near-dup CLUSTERS: connected components over the verified pair graph —
+# the step after LSH in a real dedup pipeline (A≈B≈C collapses to ONE
+# keeper even when (A,C) was never a candidate pair)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ganda_spark.operators.dedup import candidate_pair_bound, connected_components
+
+    docs = with_shingles(_near_corpus(spark, sf_dir)).persist()
+    banded = lsh_band_hashes(minhash_signatures(docs, k=8), k=8, rows_per_band=2).persist()
+    ub = candidate_pair_bound(banded, k=8, rows_per_band=2)
+    pairs = lsh_candidate_pairs(banded, k=8, rows_per_band=2, broadcast_bands=True)
+    verified = jaccard_verify(pairs, docs, broadcast_pairs=ub <= 5_000_000).where(
+        F.col("jaccard") >= 0.5
+    )
+    cc = connected_components(verified)
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return cc.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )
+
+
+def _sql_dedup_clusters() -> str:
+    # min-reachable-id per vertex via a recursive fixpoint (UNION dedupes,
+    # so the cyclic dup graph terminates) — mirrors connected_components
+    return f"""
+WITH RECURSIVE {_sql_lsh_ctes('a.doc_id < b.doc_id')},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM verified
+  UNION ALL
+  SELECT id_b, id_a FROM verified
+),
+verts AS (SELECT DISTINCT u AS vid FROM edges),
+reach(vid, r) AS (
+  SELECT vid, vid FROM verts
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.vid
+),
+cc AS (SELECT vid AS doc_id, min(r) AS cluster_id FROM reach GROUP BY vid),
+sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM cc GROUP BY 1)
+SELECT cc.doc_id, cc.cluster_id, sizes.cluster_size,
+       cc.doc_id = cc.cluster_id AS keep
+FROM cc JOIN sizes USING (cluster_id)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2112,4 +2174,5 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "crawl_host_indegree": (q_crawl_host_indegree, _SQL_INDEGREE),
     "sample_stratified": (q_sample_stratified, _SQL_SAMPLE),
     "pack_token_budget": (q_pack_token_budget, _SQL_PACK),
+    "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
 }

@@ -329,6 +329,70 @@ def jaccard_verify(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Duplicate CLUSTERS from the verified pair graph: (doc_id,
+    cluster_id) where cluster_id = min doc id in the connected component —
+    the step after LSH verify in a real dedup pipeline (keep one doc per
+    cluster, not per pair; A≈B≈C must collapse to ONE keeper even when
+    (A,C) was never a candidate pair).
+
+    Min-label propagation: each iteration joins the symmetric edge list
+    with current labels, takes the per-vertex neighborhood min, and stops
+    when no label changed. Iterations needed = component diameter —
+    near-dup components are tiny dense clusters, so this converges in a
+    couple of rounds (asserted against max_iters). Each iteration is one
+    shuffle keyed on vertex id; labels are persisted per iteration and the
+    previous handle released, so executor cache stays flat. At 10^10
+    edges the production upgrade is star-contraction (fewer rounds on
+    high-diameter graphs); the per-iteration plan here is already the
+    scale shape (joins + partial-agg min, no driver-side graph).
+    """
+    sym = pairs.select(
+        F.col(id_a).alias("u"), F.col(id_b).alias("v")
+    ).unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+    labels = (
+        sym.select(F.col("u").alias("vid"))
+        .distinct()
+        .withColumn("label", F.col("vid"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym["v"] == labels["vid"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["vid"] == neighbor_min["u"], "left")
+            .select(
+                "vid",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.vid") == F.col("o.vid"))
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iters} iters")
+    return labels.select(F.col("vid").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -286,3 +286,25 @@ def test_incremental_lsh_finds_planted_batch_dups(spark, sf_dir):
         .count()
     )
     assert hits >= 0.9 * n_planted
+
+
+def test_connected_components_transitive_and_flat_cache(spark):
+    """A≈B≈C collapses to one cluster even though (A,C) is no pair; a
+    cycle terminates; per-iteration label caches are released (flat
+    executor cache). The fixpoint guard trips on nothing here."""
+    from ganda_spark.operators.dedup import connected_components
+
+    # two chains + one cycle + one isolated pair
+    edges = [
+        (1, 2), (2, 3), (3, 4),          # chain: cluster 1 of size 4
+        (10, 11), (11, 12), (12, 10),     # cycle: cluster 10 of size 3
+        (20, 21),                         # pair: cluster 20
+    ]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    cc = connected_components(pairs)
+    got = {r.doc_id: r.cluster_id for r in cc.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    cc.unpersist()
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after <= before + 1  # only the returned labels may remain cached
