@@ -373,3 +373,54 @@ def test_delta_checkpoint_matches_full(spark, sf_dir, ckpt, tmp_path):
     seen_f = store_f.read(spark, last_f, "seen").select("url")
     assert seen_d.exceptAll(seen_f).count() == 0
     assert seen_f.exceptAll(seen_d).count() == 0
+
+
+def test_hybrid_seen_with_delta_checkpoint(spark, sf_dir, ckpt, tmp_path):
+    """The 10^10 configuration: bloom-prefilter seen strategy + delta
+    checkpoints together. Must equal the exact/full crawl, and a resume
+    inside a delta window must rebuild the bloom from the RECONSTRUCTED
+    seen table (base ∪ seen_adds)."""
+    cfg = EngineConfig(
+        retries=0, request_workers=4, per_host_budget=7,
+        seen_bloom_bits=1 << 16, seen_bloom_hashes=5,
+    )
+    seed = _seed(spark, sf_dir, 500)
+
+    ref = CrawlDriver(spark, cfg, str(tmp_path / "ref"))
+    ref.run(seed, max_generations=10)
+
+    combo = CrawlDriver(
+        spark, cfg, ckpt, seen_strategy="hybrid",
+        checkpoint_mode="delta", compact_every=4,
+    )
+    gen, frontier, seen = combo.load_state(seed)
+    for g in range(2):  # crash after gen 1 (a delta generation)
+        frontier, seen, _ = combo.run_generation(g, frontier, seen)
+    resumed = CrawlDriver(
+        spark, cfg, ckpt, seen_strategy="hybrid",
+        checkpoint_mode="delta", compact_every=4,
+    )
+    gen2, f2, s2 = resumed.load_state(seed)
+    assert gen2 == 2 and resumed._bloom is not None
+    assert resumed._bloom.bits.any()  # rebuilt from reconstructed seen
+    resumed.run(seed, max_generations=8)  # 2 + 8 = ref's 10 generations
+
+    store_c, store_r = CheckpointStore(ckpt), CheckpointStore(str(tmp_path / "ref"))
+    per_gen_c = {
+        g: store_c.read(spark, g, "results").count()
+        for g in store_c.committed_generations()
+    }
+    per_gen_r = {
+        g: store_r.read(spark, g, "results").count()
+        for g in store_r.committed_generations()
+    }
+    assert per_gen_c == per_gen_r
+    from functools import reduce
+
+    def urls(store):
+        dfs = [store.read(spark, g, "results") for g in store.committed_generations()]
+        return reduce(lambda a, b: a.unionByName(b), dfs).select("url")
+
+    uc, ur = urls(store_c), urls(store_r)
+    assert uc.count() == uc.distinct().count()
+    assert uc.exceptAll(ur).count() == 0 and ur.exceptAll(uc).count() == 0
