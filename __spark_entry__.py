@@ -2116,6 +2116,79 @@ FROM c GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# classical relational coverage over the TPC-H-ish tables: multi-way join
+# with broadcastable dims, and window top-k per group (the reference has no
+# join/window layer — SURVEY §2.6; these pin ours at TPC-H shape)
+# ---------------------------------------------------------------------------
+
+
+def q_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer ⋈ nation revenue rollup. customer shuffles with
+    orders on custkey (both large at scale); nation is a 25-row dim —
+    Catalyst broadcasts it from stats, no hint needed."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        orders.where(F.col("o_orderdate") >= F.lit("1995-01-01"))
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+_SQL_JOIN_REVENUE = """
+SELECT n_name, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by totalprice — window top-k, the same
+    shape as the politeness pop (F9) but at TPC-H scale: one shuffle on
+    the partition key, no global pass."""
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            "rk",
+        )
+    )
+
+
+_SQL_TOPK_ORDERS = """
+SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+)
+WHERE rk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2175,4 +2248,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "sample_stratified": (q_sample_stratified, _SQL_SAMPLE),
     "pack_token_budget": (q_pack_token_budget, _SQL_PACK),
     "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
+    "join_revenue_by_nation": (q_join_revenue_by_nation, _SQL_JOIN_REVENUE),
+    "topk_orders_per_customer": (q_topk_orders_per_customer, _SQL_TOPK_ORDERS),
 }
