@@ -180,6 +180,95 @@ def ivf_topk(
     )
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DataFrame-native Lloyd's iterations for IVF coarse quantization
+    (VERDICT r3 #2): seeded by the deterministic first-C-by-id picks, each
+    fixed iteration assigns every vector to its nearest centroid
+    (`ivf_assign`, broadcast centroids — one corpus scan) and recomputes
+    each list's mean.
+
+    Determinism contract: the update step runs in INTEGER basis points —
+    per-dimension `sum(round(v[d]·10⁴))` then integer `div` by the list
+    count — because float sums are order-dependent under Spark's partial
+    aggregation, and the DuckDB oracle must reproduce the centroids
+    bit-for-bit. The mean is `dim` independent long-sum aggregates in ONE
+    groupBy (no posexplode shuffle); cosine assignment then runs on the
+    de-scaled doubles, same fold order both engines.
+
+    Empty lists simply vanish (their centroid attracted no vectors) —
+    standard Lloyd's degeneracy, fine for IVF where C ≪ N. Returns
+    (id_col, vec_col) shaped like a centroid table for `ivf_assign`."""
+    cent = emb.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).cast("long").alias(id_col), as_double(F.col(vec_col)).alias(vec_col)
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(emb, cent, id_col, vec_col, nprobe=1)
+        sums = [
+            F.sum(
+                F.round(F.col(vec_col)[d].cast("double") * 10000).cast("long")
+            ).alias(f"_s{d}")
+            for d in range(dim)
+        ]
+        upd = assigned.groupBy("list_id").agg(*sums, F.count("*").alias("_n"))
+        cent = upd.select(
+            F.col("list_id").cast("long").alias(id_col),
+            F.array(
+                *[
+                    (F.expr(f"_s{d} div _n") / F.lit(10000.0)).cast("double")
+                    for d in range(dim)
+                ]
+            ).alias(vec_col),
+        )
+    return cent
+
+
+def ivf_kmeans_topk(
+    emb: DataFrame,
+    query_ids: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k over LEARNED centroids: identical probe/score plan to
+    `ivf_topk`, but the coarse quantizer is `kmeans_centroids` — centroids
+    move to the data's density, so lists are balanced and recall at fixed
+    nprobe improves on clustered corpora (pinned by the recall test)."""
+    from pyspark.sql import Window
+
+    centroids = kmeans_centroids(emb, n_centroids, iters, dim, id_col, vec_col)
+    corpus = ivf_assign(emb, centroids, id_col, vec_col, nprobe=1).select(
+        F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("nv"), "list_id"
+    )
+    probes = ivf_assign(query_ids, centroids, id_col, vec_col, nprobe=nprobe).select(
+        F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv"), "list_id"
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "list_id")
+        .where(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "qid", "nid", F.col("rank").cast("long").alias("rank"),
+            F.round("cos", 4).alias("cos_r"),
+        )
+    )
+
+
 def ann_topk(
     emb: DataFrame,
     query_ids: DataFrame,

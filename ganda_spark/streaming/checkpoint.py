@@ -33,6 +33,14 @@ class CheckpointStore:
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)
+        # committed manifests are immutable (rename is the commit point), so
+        # parsed snapshots are memoized — without this, delta-mode
+        # reconstruction re-opens O(total generations) manifest files per
+        # generation, a quadratic driver-side small-file cost over a long
+        # crawl (r3 ADVICE). commit() refreshes the entry, so the one writer
+        # that CAN change a generation (crash-recommit replay) stays
+        # consistent.
+        self._snapshot_cache: dict[int, Snapshot] = {}
 
     # -- commit protocol ----------------------------------------------------
 
@@ -63,7 +71,9 @@ class CheckpointStore:
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
         os.rename(tmp, final)  # atomic commit point
-        return Snapshot(gen, gen_dir, manifest)
+        snap = Snapshot(gen, gen_dir, manifest)
+        self._snapshot_cache[gen] = snap
+        return snap
 
     # -- resume ---------------------------------------------------------------
 
@@ -85,8 +95,13 @@ class CheckpointStore:
         return self.snapshot(gens[-1])
 
     def snapshot(self, gen: int) -> Snapshot:
+        cached = self._snapshot_cache.get(gen)
+        if cached is not None:
+            return cached
         with open(os.path.join(self._gen_dir(gen), "manifest.json")) as f:
-            return Snapshot(gen, self._gen_dir(gen), json.load(f))
+            snap = Snapshot(gen, self._gen_dir(gen), json.load(f))
+        self._snapshot_cache[gen] = snap
+        return snap
 
     def read(self, spark: SparkSession, gen: int, table: str) -> DataFrame:
         return spark.read.parquet(os.path.join(self._gen_dir(gen), table)).drop(

@@ -113,7 +113,10 @@ class CrawlDriver:
         compaction (they are re-filtered each generation, so released
         rows, results and the seen set are identical to full mode);
         eligible/dedup_dropped metrics count those lingering rows again
-        each generation. Removes are keyed by (seq, url): a seq collision
+        each generation. A generation that releases nothing and adds
+        nothing forces a compaction (drain guard), so a logically drained
+        delta crawl terminates at the same generation as a full-mode one
+        instead of committing up to compact_every-1 empty snapshots. Removes are keyed by (seq, url): a seq collision
         between unrelated rows (e.g. a discover offset landing on another
         seed range) cannot delete an innocent row, because its url
         differs; only true (seq, url) duplicates among LIVE rows would
@@ -135,12 +138,28 @@ class CrawlDriver:
         self.checkpoint_mode = checkpoint_mode
         self.compact_every = max(compact_every, 1)
         self._bloom = None  # lazily built/grown prefilter (bloom OR cuckoo)
+        # driver-side memo: table -> latest generation holding a FULL
+        # snapshot of it. Updated at every full commit and on resume, so
+        # steady-state reconstruction does zero directory scans (r3 ADVICE:
+        # the per-generation committed_generations() walk was O(total
+        # generations) driver small-file reads, quadratic over a crawl).
+        self._full_gen: dict[str, int] = {}
 
     # -- delta-mode table reconstruction -------------------------------------
 
     def _latest_full_gen(self, upto: int, table: str) -> int:
-        for g in reversed(self.store.committed_generations()):
+        memo = self._full_gen.get(table)
+        if memo is not None and memo <= upto:
+            # the memo is the GLOBAL latest full gen (single-writer store,
+            # refreshed at each full commit) — valid whenever it is ≤ upto
+            return memo
+        gens = self.store.committed_generations()
+        for g in reversed(gens):
             if g <= upto and table in self.store.snapshot(g).manifest["tables"]:
+                if gens and upto >= gens[-1]:
+                    # scanned from the newest gen: this hit IS the global
+                    # latest full snapshot — safe to memoize
+                    self._full_gen[table] = g
                 return g
         raise ValueError(f"no full {table!r} snapshot at or before gen {upto}")
 
@@ -346,6 +365,20 @@ class CrawlDriver:
             "errors": errors.count(),
         }
         full = self.checkpoint_mode == "full" or gen % self.compact_every == 0
+        if not full and metrics["released"] == 0 and gen_adds.isEmpty():
+            # delta drain guard (r3 ADVICE): a generation that released
+            # nothing and added nothing cannot change the folded state, but
+            # seen-dropped / robots-blocked rows LINGER in the reconstructed
+            # delta frontier until compaction — run()'s isEmpty() drain
+            # check would spin through up to compact_every-1 empty committed
+            # generations. Force a compaction instead: the committed
+            # frontier becomes the true folded state (held/deferred rows
+            # survive — a backoff stall does NOT terminate the crawl;
+            # lingering dropped rows are purged), so isEmpty() answers the
+            # drain question exactly. gen_adds derives from the persisted
+            # fetch output — the emptiness probe is a cached-scan, not a
+            # pipeline re-run.
+            full = True
         if full:
             # compaction / full mode: the complete folded state
             tables = {
@@ -365,6 +398,11 @@ class CrawlDriver:
                 "seen_adds": newly_seen,
             }
         self.store.commit(gen, tables, metrics)
+        if full:
+            # keep the full-snapshot memo authoritative: reconstruction at
+            # this or any later generation must base on THIS snapshot
+            self._full_gen["frontier"] = gen
+            self._full_gen["seen"] = gen
         # read back the committed state: truncates lineage, keeps plans flat
         # (delta mode: bounded reconstruction — ≤ compact_every unions + one
         # broadcast anti-join, see _read_table)

@@ -2,17 +2,24 @@
 release budget that persists ACROSS micro-batches.
 
 The batch politeness pop (operators/politeness.pop_batch) caps each host
-per generation; a continuous crawl also wants a durable cap — "never more
-than N requests to host H over the stream's lifetime / until ops resets
-state". That is per-key mutable state, exactly what
-applyInPandasWithState provides: state lives in the state store (
-checkpointed, partition-local, keyed by host), each micro-batch's rows for
-a host arrive as Arrow batches, and the operator emits only the rows the
-remaining budget admits — deterministically, best (priority, seq) first.
+per generation and returns a (released, deferred) PAIR; a continuous crawl
+also wants a durable cap — "never more than N requests to host H per
+budget window". That is per-key mutable state, exactly what
+applyInPandasWithState provides: state lives in the state store
+(checkpointed, partition-local, keyed by host), each micro-batch's rows
+for a host arrive as Arrow batches, and the operator releases only the
+rows the remaining budget admits — deterministically, best
+(priority, seq) first.
 
-Scale posture: state is ONE counter per host; the shuffle is the same
-host-keyed exchange the politeness partitioner needs anyway. No per-row
-Python outside the Arrow batches (input_hint contract).
+Rows beyond the budget are NOT dropped (VERDICT r3 #7): they are emitted
+tagged `status='deferred'` with a NULL released_rank, the same
+released/deferred contract as the batch pop, so the caller can requeue
+them (feed them into a later micro-batch — optionally under a later
+budget window, where they release).
+
+Scale posture: state is ONE (counter, window) pair per host; the shuffle
+is the same host-keyed exchange the politeness partitioner needs anyway.
+No per-row Python outside the Arrow batches (input_hint contract).
 """
 
 from __future__ import annotations
@@ -25,38 +32,71 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 RELEASE_SCHEMA = (
-    "seq long, url string, host string, priority int, released_rank long"
+    "seq long, url string, host string, priority int, released_rank long, "
+    "status string"
 )
-STATE_SCHEMA = "used long"
+STATE_SCHEMA = "used long, win long"
+
+_OUT_COLS = ["seq", "url", "host", "priority", "released_rank", "status"]
 
 
-def stateful_host_budget(stream: DataFrame, budget: int) -> DataFrame:
-    """stream(seq, url, host, priority, ...) → rows released under the
-    durable per-host budget, with `released_rank` = the host's lifetime
-    release ordinal (1-based). Rows beyond the budget are dropped (the
-    caller's defer/requeue policy can read the gap from released_rank)."""
+def stateful_host_budget(
+    stream: DataFrame, budget: int, window_col: str | None = None
+) -> DataFrame:
+    """stream(seq, url, host, priority[, window_col], ...) → every input
+    row, tagged: `status='released'` with `released_rank` = the host's
+    release ordinal (1-based) for rows the budget admits, or
+    `status='deferred'` with NULL rank for the rest.
+
+    window_col=None: the budget is a host-LIFETIME cap (ordinals never
+    reset). With window_col (a monotonically increasing long — epoch hour,
+    crawl generation): the budget applies PER WINDOW — when a host's rows
+    arrive under a window greater than the one in state, the used-counter
+    resets, so previously deferred rows requeued by the caller into the
+    next window release (released_rank restarts at 1 each window)."""
 
     def release(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        (used,) = state.get if state.exists else (0,)
+        used, win = state.get if state.exists else (0, -1)
         # applyInPandasWithState delivers one GROUP as MULTIPLE Arrow chunks
         # (~10k rows each); sorting per-chunk would let a worse row from an
         # early chunk beat a better (priority, seq) row from a later chunk
         # (ADVICE r2). Materialize the whole group first — a group here is
         # one host's rows in ONE micro-batch, bounded by the upstream
-        # trigger size, not the frontier — then sort ONCE and take the head.
+        # trigger size, not the frontier — then sort ONCE per window.
         chunks = [pdf for pdf in pdfs]
-        if used < budget and chunks:
-            group = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-            take = group.sort_values(["priority", "seq"]).head(budget - used)
+        if not chunks:
+            state.update((used, win))
+            return
+        group = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        if window_col is None:
+            windows = [(win, group)]
+        else:
+            windows = list(
+                group.sort_values(window_col).groupby(window_col, sort=True)
+            )
+        for w, sub in windows:
+            if window_col is not None and int(w) > win:
+                used, win = 0, int(w)
+            ordered = sub.sort_values(["priority", "seq"])
+            room = max(budget - used, 0)
+            take = ordered.head(room)
+            rest = ordered.iloc[len(take):]
             n = len(take)
             if n > 0:
                 yield take.assign(
-                    released_rank=range(used + 1, used + n + 1)
-                )[["seq", "url", "host", "priority", "released_rank"]]
+                    released_rank=range(used + 1, used + n + 1),
+                    status="released",
+                )[_OUT_COLS]
                 used += n
-        state.update((used,))
+            if len(rest) > 0:
+                deferred = rest.assign(status="deferred")
+                deferred["released_rank"] = pd.array(
+                    [None] * len(rest), dtype="Int64"
+                )
+                yield deferred[_OUT_COLS]
+        state.update((used, win))
 
     return (
         stream.groupBy("host")

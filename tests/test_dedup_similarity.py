@@ -305,6 +305,112 @@ def test_connected_components_transitive_and_flat_cache(spark):
     cc = connected_components(pairs)
     got = {r.doc_id: r.cluster_id for r in cc.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
-    cc.unpersist()
+    cc.unpersist()  # no-op: the result reads the spool, nothing is cached
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
-    assert after <= before + 1  # only the returned labels may remain cached
+    # the internal edge cache is released before returning; the result
+    # itself is a parquet read — ZERO persisted plans survive the call
+    assert after <= before
+
+
+def test_lsh_bucket_cap_keeps_planted_pairs(spark, sf_dir):
+    """max_bucket (VERDICT r3 #5): a degenerate clique — 40 byte-identical
+    docs, every band hash shared by all 40 — is dropped by the cap, while
+    planted near-dup pairs (bucket size 2) survive untouched. Recall on
+    real near-dups is unaffected because their buckets are small; the cap
+    only sheds buckets that carry no discrimination."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    words = F.split("text", " ")
+    mutated = docs.where((F.col("doc_id") % 4 == 0) & (F.size(words) > 20)).select(
+        (F.col("doc_id") + 50000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(words, 1, F.size(words) - 3)).alias("text"),
+    )
+    clique = spark.range(40).select(
+        (F.col("id") + 90000).alias("doc_id"),
+        F.lit("exactly the same boilerplate page text repeated everywhere").alias(
+            "text"
+        ),
+    )
+    corpus = with_shingles(
+        docs.unionByName(mutated).unionByName(clique)
+    ).persist()
+    banded = lsh_band_hashes(minhash_signatures(corpus, k=8), k=8, rows_per_band=2)
+
+    uncapped = lsh_candidate_pairs(banded, k=8, rows_per_band=2)
+    capped = lsh_candidate_pairs(banded, k=8, rows_per_band=2, max_bucket=3)
+    in_clique = (F.col("id_a") >= 90000) & (F.col("id_b") >= 90000)
+
+    # the clique contributes its full 40·39/2 pair blow-up uncapped, zero capped
+    assert uncapped.where(in_clique).count() == 40 * 39 // 2
+    assert capped.where(in_clique).count() == 0
+    # every planted near-dup pair the uncapped search finds survives the cap
+    planted = F.col("id_b") - F.col("id_a") == 50000
+    n_unc = uncapped.where(planted).count()
+    n_cap = capped.where(planted).count()
+    assert n_cap == n_unc and n_unc > 0
+    corpus.unpersist()
+
+
+def test_connected_components_upstream_runs_once(spark):
+    """The r3 ADVICE contract: `sym` is persisted, so iterations never
+    re-execute the upstream pair pipeline (in q_dedup_clusters that is the
+    LSH band self-join + jaccard verify), and the changed-count rides in
+    the SAME action that materializes each iteration's cache. Proven with
+    an accumulator on the pair source: it must tick exactly FOUR times per
+    edge (the symmetrize + self-loop union branches, materialized once at
+    init), regardless of how many label iterations run."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ganda_spark.operators.dedup import connected_components
+
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11)]
+    sc = spark.sparkContext
+    acc = sc.accumulator(0)
+    schema = StructType(
+        [StructField("id_a", LongType()), StructField("id_b", LongType())]
+    )
+
+    def tick(batches):
+        for b in batches:
+            acc.add(len(b))
+            yield b
+
+    pairs = spark.createDataFrame(edges, schema).coalesce(1).mapInPandas(tick, schema)
+    stats: dict = {}
+    cc = connected_components(pairs, stats_out=stats)
+    n = cc.count()
+    cc.unpersist()
+    assert n == 6  # vertices {1,2,3,4,10,11}
+    assert stats["iterations"] >= 2  # the chain needs >1 round — caching mattered
+    # one init job + one spool-write per iteration (the changed-count is an
+    # observation ON the write) — no convergence-probe action
+    assert stats["actions"] == stats["iterations"] + 1
+    # each edge scanned exactly 4× (symmetrize + self-loop branches at the
+    # single init materialization), then never again — iterations read the
+    # edge CACHE, not the upstream pair pipeline
+    assert acc.value == 4 * len(edges)
+
+
+def test_connected_components_shortcut_chain64(spark):
+    """High-diameter proof: a 64-vertex chain has diameter 63, so plain
+    min-label propagation cannot close it within 20 iterations (the
+    fixpoint guard trips) — while the pointer-jump variant (label ←
+    label[label], star-contraction family) doubles the frontier per round
+    and converges in ~log2(diameter) rounds."""
+    import pytest as _pytest
+
+    from ganda_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(1, 64)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+
+    with _pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(pairs, max_iters=20, shortcut=False)
+
+    stats: dict = {}
+    cc = connected_components(pairs, max_iters=20, shortcut=True, stats_out=stats)
+    got = {r.doc_id: r.cluster_id for r in cc.collect()}
+    cc.unpersist()
+    assert got == {i: 1 for i in range(1, 65)}
+    # reach doubles per round (r' = 2r + 1): 1,3,7,15,31,63 → 6 rounds
+    # + 1 no-change round to detect the fixpoint
+    assert stats["iterations"] <= 9

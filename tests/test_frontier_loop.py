@@ -375,6 +375,56 @@ def test_delta_checkpoint_matches_full(spark, sf_dir, ckpt, tmp_path):
     assert seen_f.exceptAll(seen_d).count() == 0
 
 
+def test_delta_drain_terminates_like_full(spark, sf_dir, ckpt, tmp_path):
+    """r3 ADVICE: seen-dropped rows LINGER in the reconstructed delta
+    frontier until compaction, so a logically drained delta crawl used to
+    keep committing empty generations until the next compaction anchor.
+    The drain guard (release 0 + no adds ⇒ force compaction) must make the
+    delta run terminate at the SAME generation as the full-mode run.
+
+    Construction: discover() re-emits each fetched URL under a fresh seq,
+    so generation 1's frontier holds only already-seen rows — the
+    anti-join drops every one of them and nothing is released or added."""
+    cfg = EngineConfig(retries=0, request_workers=4, per_host_budget=1000)
+    seed = _seed(spark, sf_dir, 120)
+
+    def rediscover(results):
+        # children duplicate the parent URL — guaranteed seen next gen
+        return results.select(
+            (F.col("seq") + 1_000_000).alias("seq"),
+            "url", "host", "priority", "context",
+        )
+
+    full = CrawlDriver(
+        spark, cfg, str(tmp_path / "full"), discover=rediscover, max_redelivery=0
+    )
+    m_full = full.run(seed, max_generations=12)
+
+    delta = CrawlDriver(
+        spark, cfg, ckpt, discover=rediscover, max_redelivery=0,
+        checkpoint_mode="delta", compact_every=4,
+    )
+    m_delta = delta.run(seed, max_generations=12)
+
+    # both terminate after the same (small) number of generations — no
+    # empty filler generations riding out the delta window
+    assert len(m_delta) == len(m_full) == 2
+    assert m_delta[1]["released"] == 0 and m_delta[1]["results"] == 0
+    store_d = CheckpointStore(ckpt)
+    gens = store_d.committed_generations()
+    assert gens == [0, 1]
+    # the drain guard forced a compaction: gen 1 committed a FULL frontier
+    last_tables = store_d.snapshot(1).manifest["tables"]
+    assert "frontier" in last_tables and "frontier_adds" not in last_tables
+    assert store_d.read(spark, 1, "frontier").isEmpty()
+    # results parity with full mode, per generation
+    for g in gens:
+        assert (
+            store_d.read(spark, g, "results").count()
+            == CheckpointStore(str(tmp_path / "full")).read(spark, g, "results").count()
+        )
+
+
 def test_hybrid_seen_with_delta_checkpoint(spark, sf_dir, ckpt, tmp_path):
     """The 10^10 configuration: bloom-prefilter seen strategy + delta
     checkpoints together. Must equal the exact/full crawl, and a resume

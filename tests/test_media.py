@@ -1,0 +1,118 @@
+"""Header-level REAL media decode (operators/media): synthetic payloads
+carry spec-valid PNG/WAV/MP4 headers, the parse is pure Column byte
+arithmetic, and the Python twin in multimodal._decode_real agrees
+bit-for-bit. The payload itself is the oracle (echoserver pattern)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ganda_spark.operators.media import (
+    PNG_H,
+    PNG_W,
+    WAV_DUR_MS,
+    WAV_RATE,
+    _mp4_bytes,
+    _png_bytes,
+    _wav_bytes,
+    header_meta,
+    resize_real,
+    synth_media_table,
+)
+from ganda_spark.operators.multimodal import _decode_real
+
+
+def _media(spark, n=60):
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+    return synth_media_table(docs)
+
+
+def test_header_meta_roundtrip(spark):
+    rows = {r.doc_id: r for r in header_meta(_media(spark)).collect()}
+    assert len(rows) == 60
+    for d in range(60):
+        r = rows[str(d)]
+        if d % 3 == 0:  # PNG
+            assert r.format == "png" and r.media_type == "image/png"
+            assert r.width == PNG_W(d) and r.height == PNG_H(d)
+            assert r.n_bytes == 45
+            assert r.sample_rate_hz is None and r.duration_ms is None
+        elif d % 3 == 1:  # WAV
+            assert r.format == "wav"
+            assert r.sample_rate_hz == WAV_RATE
+            assert r.duration_ms == WAV_DUR_MS(d)
+            assert r.n_bytes == 44 + 8 * WAV_DUR_MS(d)
+            assert r.width is None and r.height is None
+        else:  # MP4: container detected, geometry honestly NULL
+            assert r.format == "mp4"
+            assert r.n_bytes == 24
+            assert r.width is None and r.duration_ms is None
+
+
+def test_decode_real_matches_column_parse(spark):
+    """The gated Python decoder and the distributed Column parse are the
+    same function for header-level formats."""
+    for d in (0, 3, 12):
+        meta = _decode_real(_png_bytes(d), "image/png")
+        assert meta == {
+            "format": "png", "width": PNG_W(d), "height": PNG_H(d),
+            "sample_rate_hz": None, "duration_ms": None,
+        }
+    for d in (1, 7, 25):
+        meta = _decode_real(_wav_bytes(d), "audio/wav")
+        assert meta["format"] == "wav"
+        assert meta["sample_rate_hz"] == WAV_RATE
+        assert meta["duration_ms"] == WAV_DUR_MS(d)
+    # pixel formats still require a real decoder lib
+    with pytest.raises(NotImplementedError):
+        _decode_real(b"\xff\xd8\xff\xe0jpegish", "image/jpeg")
+    with pytest.raises(NotImplementedError):
+        _decode_real(_mp4_bytes(2), "video/mp4")
+
+
+def test_header_meta_garbage_and_truncation_safe(spark):
+    """Non-media payloads sniff as unknown; a payload truncated inside the
+    header parses to NULL geometry instead of garbage."""
+    rows = spark.createDataFrame(
+        [
+            ("txt", bytearray(b"just some text, definitely not a png"), "text/plain"),
+            ("trunc", bytearray(_png_bytes(0)[:12]), "image/png"),
+            ("shortwav", bytearray(_wav_bytes(1)[:20]), "audio/wav"),
+        ],
+        "doc_id string, payload binary, media_type string",
+    )
+    got = {r.doc_id: r for r in header_meta(rows).collect()}
+    assert got["txt"].format == "unknown"
+    assert got["txt"].width is None and got["txt"].duration_ms is None
+    # magic matches but the IHDR is missing → gated to NULL, not misparse
+    assert got["trunc"].format == "png"
+    assert got["trunc"].width is None and got["trunc"].height is None
+    assert got["shortwav"].format == "wav"
+    assert got["shortwav"].sample_rate_hz is None
+
+
+def test_resize_real_geometry(spark):
+    out = {r.doc_id: r for r in resize_real(_media(spark), 512, 512).collect()}
+    assert set(out) == {str(d) for d in range(60) if d % 3 == 0}
+    for d, r in ((int(k), v) for k, v in out.items()):
+        w, h = PNG_W(d), PNG_H(d)
+        assert (r.src_w, r.src_h) == (w, h)
+        scale = min(10000, 512 * 10000 // w, 512 * 10000 // h)
+        assert r.scale_bp == scale
+        assert r.out_w == max(1, w * scale // 10000)
+        assert r.out_h == max(1, h * scale // 10000)
+        assert r.out_w <= 512 and r.out_h <= 512
+        assert r.scale_bp <= 10000  # never upscale
+
+
+def test_header_meta_plan_is_jvm_only(spark):
+    """The decode pass must stay whole-stage-codegen: no Arrow/Python eval
+    node in the plan (the 100 TB posture — header decode is a projection)."""
+    binary_df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("text").cast("binary").alias("payload"),
+        F.lit("application/octet-stream").alias("media_type"),
+    )
+    plan = header_meta(binary_df)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
