@@ -19,6 +19,7 @@ Usage: python tools/rehearsal.py [--generations N] [--sf-dir DIR]
                                  [--seen-strategy exact|hybrid|cuckoo]
                                  [--replicas K]  (K x 150k seed URLs)
                                  [--checkpoint-mode full|delta]
+                                 [--compact-every K]  (delta compaction interval)
 Prints one markdown table + one JSON line (for BASELINE.md).
 """
 
@@ -92,6 +93,9 @@ def main() -> int:
     ckpt_mode = "full"
     if "--checkpoint-mode" in sys.argv:
         ckpt_mode = sys.argv[sys.argv.index("--checkpoint-mode") + 1]
+    compact_every = 8
+    if "--compact-every" in sys.argv:
+        compact_every = int(sys.argv[sys.argv.index("--compact-every") + 1])
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     spark = get_spark("rehearsal", cores=cores)
@@ -106,6 +110,7 @@ def main() -> int:
     driver = CrawlDriver(
         spark, cfg, ckpt, discover=discover, global_budget=GLOBAL_BUDGET,
         seen_strategy=strategy, checkpoint_mode=ckpt_mode,
+        compact_every=compact_every,
     )
     seed = build_seed(spark, sf_dir, replicas)
 
@@ -157,6 +162,7 @@ def main() -> int:
         "sf": sf_dir.rsplit("sf", 1)[-1],
         "seen_strategy": strategy,
         "checkpoint_mode": ckpt_mode,
+        "compact_every": compact_every if ckpt_mode == "delta" else None,
     }
     print(json.dumps(summary))
     return 0
