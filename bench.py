@@ -153,7 +153,7 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict, dict, dict]:
     # documents the bounded-cost guarantee the cap buys at 10^10 docs.
     t0 = time.time()
     capped = lsh_candidate_pairs(banded, k=8, rows_per_band=2, max_bucket=64)
-    n_capped = _materialize(jaccard_verify(capped, docs, broadcast_pairs=True))
+    n_capped = jaccard_verify(capped, docs, broadcast_pairs=True).count()
     adversarial["dedup_lsh_degenerate_capped"] = round(time.time() - t0, 3)
     adversarial["capped_pairs"] = n_capped
     docs.unpersist()
