@@ -1938,6 +1938,34 @@ FROM scaled
 """
 
 
+def q_mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window audio chunking over REAL header-parsed WAV duration:
+    one row per 250 ms window with exact PCM byte offsets — the
+    feature-extraction pre-pass, fan-out via explode(sequence) (pure
+    Column, zero Python)."""
+    from ganda_spark.operators.media import audio_chunks, synth_media_table
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return audio_chunks(synth_media_table(docs), chunk_ms=250)
+
+
+_SQL_MM_AUDIO_CHUNKS = """
+WITH wav AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         100 + (doc_id * 31) % 900 AS dur
+  FROM documents WHERE doc_id % 3 = 1
+)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       CAST(i * 250 AS BIGINT) AS start_ms,
+       CAST(least((i + 1) * 250, dur) AS BIGINT) AS end_ms,
+       CAST(44 + i * 250 * 8000 / 1000 AS BIGINT) AS byte_offset
+FROM wav, generate_series(0, 3) AS t(i)
+WHERE i < ceil(dur / 250.0)
+"""
+# (constant series + filter: DuckDB 1.0 generate_series cannot take a
+# lateral column bound; synth durations are 100-999 ms so ceil(dur/250)<=4)
+
+
 # --- relational extras (events windows + pricing summary) -----------------------
 
 
@@ -2442,4 +2470,5 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "mm_resize_real": (q_mm_resize_real, _SQL_MM_RESIZE_REAL),
     "sim_ivf_kmeans_topk": (q_sim_ivf_kmeans_topk, _sql_ivf_kmeans_topk()),
     "dedup_minhash_lsh_capped": (q_dedup_minhash_lsh_capped, _sql_minhash_lsh_capped()),
+    "mm_audio_chunks": (q_mm_audio_chunks, _SQL_MM_AUDIO_CHUNKS),
 }

@@ -197,6 +197,46 @@ def header_meta(binary_df: DataFrame) -> DataFrame:
     )
 
 
+def audio_chunks(binary_df: DataFrame, chunk_ms: int = 250) -> DataFrame:
+    """Fixed-window audio chunking over the REAL header-parsed duration —
+    the pre-processing shape for audio feature extraction (each chunk
+    feeds a downstream encoder): one row per `chunk_ms` window, last
+    window truncated at the true duration. WAV rows only (the only format
+    whose duration a header carries); pure Column ops — the fan-out is
+    `explode(sequence(...))`, JVM-side, so a 100 TB audio table chunks
+    with zero Python. The byte range per chunk is exact (PCM: offset =
+    44 + ms × byte_rate / 1000), which is what a range-read decoder
+    needs."""
+    meta = header_meta(binary_df).where(
+        (F.col("format") == "wav") & F.col("duration_ms").isNotNull()
+    )
+    n_chunks = F.ceil(F.col("duration_ms") / F.lit(chunk_ms)).cast("long")
+    return (
+        meta.withColumn("_n", F.greatest(n_chunks, F.lit(1).cast("long")))
+        .select(
+            "doc_id",
+            "duration_ms",
+            "sample_rate_hz",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("_n") - 1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            (F.col("chunk_idx") * chunk_ms).alias("start_ms"),
+            F.least(
+                (F.col("chunk_idx") + 1) * chunk_ms, F.col("duration_ms")
+            ).alias("end_ms"),
+            # PCM byte range: header is 44 bytes, byte_rate == sample rate
+            # (mono 8-bit synth contract)
+            (F.lit(44) + F.col("chunk_idx") * chunk_ms * F.col("sample_rate_hz") / 1000)
+            .cast("long")
+            .alias("byte_offset"),
+        )
+    )
+
+
 def resize_real(
     binary_df: DataFrame, max_w: int = 512, max_h: int = 512
 ) -> DataFrame:

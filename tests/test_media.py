@@ -106,6 +106,29 @@ def test_resize_real_geometry(spark):
         assert r.scale_bp <= 10000  # never upscale
 
 
+def test_audio_chunks_cover_duration_exactly(spark):
+    """Chunk windows tile [0, duration] with no gap/overlap, the last
+    window truncates at the REAL header duration, and PCM byte offsets
+    match offset = 44 + start_ms × byte_rate/1000."""
+    from ganda_spark.operators.media import audio_chunks
+
+    out = audio_chunks(_media(spark), chunk_ms=250).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(int(r.doc_id), []).append(r)
+    assert set(by_doc) == {d for d in range(60) if d % 3 == 1}
+    for d, rows in by_doc.items():
+        dur = WAV_DUR_MS(d)
+        rows.sort(key=lambda r: r.chunk_idx)
+        assert [r.chunk_idx for r in rows] == list(range(len(rows)))
+        assert len(rows) == -(-dur // 250)  # ceil
+        for i, r in enumerate(rows):
+            assert r.start_ms == i * 250
+            assert r.end_ms == min((i + 1) * 250, dur)
+            assert r.byte_offset == 44 + i * 250 * WAV_RATE // 1000
+        assert rows[-1].end_ms == dur  # full coverage, exact truncation
+
+
 def test_header_meta_plan_is_jvm_only(spark):
     """The decode pass must stay whole-stage-codegen: no Arrow/Python eval
     node in the plan (the 100 TB posture — header decode is a projection)."""
