@@ -2112,6 +2112,62 @@ FROM cc JOIN sizes USING (cluster_id)
 """
 
 
+def q_curate_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup-then-curate pipeline: LSH near-dup clusters → keep
+    ONE doc per cluster (longest text, ties → smallest id), singletons
+    keep themselves — the end-to-end shape a corpus-curation job runs
+    before training. Composes lsh pairs + jaccard verify +
+    connected_components + keep_best_per_cluster."""
+    from ganda_spark.operators.dedup import (
+        candidate_pair_bound,
+        connected_components,
+        keep_best_per_cluster,
+    )
+
+    corpus = _near_corpus(spark, sf_dir)
+    docs = with_shingles(corpus).persist()
+    banded = lsh_band_hashes(minhash_signatures(docs, k=8), k=8, rows_per_band=2).persist()
+    ub = candidate_pair_bound(banded, k=8, rows_per_band=2)
+    pairs = lsh_candidate_pairs(banded, k=8, rows_per_band=2, broadcast_bands=True)
+    verified = jaccard_verify(pairs, docs, broadcast_pairs=ub <= 5_000_000).where(
+        F.col("jaccard") >= 0.5
+    )
+    cc = connected_components(verified)
+    return keep_best_per_cluster(corpus, cc)
+
+
+def _sql_curate_keep_best() -> str:
+    # extends the dedup_clusters recursive chain with the keeper window
+    return f"""
+WITH RECURSIVE {_sql_lsh_ctes('a.doc_id < b.doc_id')},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM verified
+  UNION ALL
+  SELECT id_b, id_a FROM verified
+),
+verts AS (SELECT DISTINCT u AS vid FROM edges),
+reach(vid, r) AS (
+  SELECT vid, vid FROM verts
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.vid
+),
+cc AS (SELECT vid AS doc_id, min(r) AS cluster_id FROM reach GROUP BY vid),
+labeled AS (
+  SELECT c.doc_id, coalesce(cc.cluster_id, c.doc_id) AS cluster_id,
+         CAST(length(c.text) AS BIGINT) AS text_len
+  FROM corpus c LEFT JOIN cc ON cc.doc_id = c.doc_id
+),
+ranked AS (
+  SELECT doc_id, cluster_id, text_len,
+         CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY text_len DESC, doc_id ASC) AS rk
+  FROM labeled
+)
+SELECT doc_id, cluster_id, n_members, text_len FROM ranked WHERE rk = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # sessionization: gap-based sessions over the events stream (training-data
 # pipelines sessionize interaction logs; windows partition by user — the
@@ -2471,4 +2527,5 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "sim_ivf_kmeans_topk": (q_sim_ivf_kmeans_topk, _sql_ivf_kmeans_topk()),
     "dedup_minhash_lsh_capped": (q_dedup_minhash_lsh_capped, _sql_minhash_lsh_capped()),
     "mm_audio_chunks": (q_mm_audio_chunks, _SQL_MM_AUDIO_CHUNKS),
+    "curate_keep_best": (q_curate_keep_best, _sql_curate_keep_best()),
 }

@@ -92,6 +92,18 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict, dict, dict]:
     _materialize(entry.queries()["dedup_minhash_incremental"](spark, sf_dir))
     stats["dedup_incremental_sec"] = round(time.time() - t0, 3)
 
+    # 2d. round-4 ops, reported under stats (headline composition stays
+    # frozen at the r2 15 queries): real header-level media decode,
+    # learned-centroid IVF, and the dedup-then-curate composition.
+    for key, qname in (
+        ("mm_decode_real_sec", "mm_decode_real"),
+        ("sim_ivf_kmeans_sec", "sim_ivf_kmeans_topk"),
+        ("curate_keep_best_sec", "curate_keep_best"),
+    ):
+        t0 = time.time()
+        _materialize(entry.queries()[qname](spark, sf_dir))
+        stats[key] = round(time.time() - t0, 3)
+
     # 3. the rest of the headline set via the driver-contract queries
     for name in (
         "k1_crawl_pipeline",

@@ -508,6 +508,41 @@ def connected_components(
     )
 
 
+def keep_best_per_cluster(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The curation KEEPER step a training-data pipeline runs after
+    near-dup clustering: ONE document per cluster — the longest text
+    (most complete version), ties broken by smallest id — and every
+    unclustered document keeps itself (cluster_id = own id, n_members 1).
+
+    Plan shape: one left join of the corpus against the (small) cluster
+    label table, then a window keyed on cluster_id (never global). At
+    100 TB the label table is the CC output — orders of magnitude
+    smaller than the corpus — so the join broadcasts and the only
+    shuffle is the per-cluster window exchange."""
+    from pyspark.sql import Window
+
+    labeled = (
+        docs.join(
+            clusters.select(F.col(id_col), F.col("cluster_id")), id_col, "left"
+        )
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+        .withColumn("text_len", F.length(text_col).cast("long"))
+    )
+    w = Window.partitionBy("cluster_id")
+    wr = w.orderBy(F.col("text_len").desc(), F.col(id_col).asc())
+    return (
+        labeled.withColumn("n_members", F.count(F.lit(1)).over(w).cast("long"))
+        .withColumn("_rk", F.row_number().over(wr))
+        .where(F.col("_rk") == 1)
+        .select(id_col, "cluster_id", "n_members", "text_len")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

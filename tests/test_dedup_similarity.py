@@ -393,6 +393,30 @@ def test_connected_components_upstream_runs_once(spark):
     assert acc.value == 4 * len(edges)
 
 
+def test_keep_best_per_cluster(spark):
+    """Curation keeper: exactly one doc per cluster (the longest text,
+    ties → smallest id); docs in no cluster keep themselves."""
+    from ganda_spark.operators.dedup import keep_best_per_cluster
+
+    docs = spark.createDataFrame(
+        [
+            (1, "short"), (2, "the much longer version"), (3, "medium text"),
+            (10, "same len a"), (11, "same len b"),
+            (99, "a singleton nobody duplicated"),
+        ],
+        "doc_id long, text string",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, cluster_id long",
+    )
+    kept = {r.doc_id: r for r in keep_best_per_cluster(docs, clusters).collect()}
+    assert set(kept) == {2, 10, 99}
+    assert kept[2].cluster_id == 1 and kept[2].n_members == 3  # longest wins
+    assert kept[10].cluster_id == 10  # equal lengths → smallest id
+    assert kept[99].n_members == 1 and kept[99].cluster_id == 99  # singleton
+
+
 def test_connected_components_shortcut_chain64(spark):
     """High-diameter proof: a 64-vertex chain has diameter 63, so plain
     min-label propagation cannot close it within 20 iterations (the
