@@ -1592,6 +1592,58 @@ SELECT qid, nid, CAST(rank AS BIGINT) AS rank, cos_r FROM (
 """
 
 
+def q_sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized ANN (symmetric int8 over the unit-normalized
+    vector, q = round(u·127)): exact INTEGER dot for candidate ranking
+    (≈127²·cosine, order-independent → engine-reproducible), exact
+    cosine re-rank of the top k·refine. The production memory dial for
+    a 100 TB embedding table."""
+    from ganda_spark.operators.similarity import quantized_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10)
+    return quantized_topk(emb, q, k=5, refine=4, dim=EMBEDDING_DIM).select(
+        F.col("qid").cast("long").alias("qid"),
+        F.col("nid").cast("long").alias("nid"),
+        "rank",
+        "cos_r",
+    )
+
+
+def _sql_quantized_topk() -> str:
+    cos_qn = _duck_cos("qe.v", "ne.v")
+    return f"""
+WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding::DOUBLE[] AS v
+           FROM embeddings),
+q8 AS (
+  SELECT vec_id,
+         [CAST(round(CASE WHEN sqrt(list_sum([x * x for x in v])) > 0
+                          THEN x * 127 / sqrt(list_sum([y * y for y in v]))
+                          ELSE 0 END) AS BIGINT) for x in v] AS q
+  FROM e
+),
+cand AS (
+  SELECT qq.vec_id AS qid, n.vec_id AS nid,
+         list_sum([n.q[i] * qq.q[i] for i in generate_series(1, 64)]) AS iscore
+  FROM q8 n JOIN q8 qq ON qq.vec_id < 10 AND qq.vec_id <> n.vec_id
+),
+surv AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY iscore DESC, nid ASC) AS irk
+    FROM cand
+  ) WHERE irk <= 20
+)
+SELECT qid, nid, CAST(rank AS BIGINT) AS rank, cos_r FROM (
+  SELECT s.qid, s.nid, round({cos_qn}, 4) AS cos_r,
+         row_number() OVER (PARTITION BY s.qid
+                            ORDER BY {cos_qn} DESC, s.nid ASC) AS rank
+  FROM surv s JOIN e qe ON qe.vec_id = s.qid JOIN e ne ON ne.vec_id = s.nid
+) WHERE rank <= 5
+"""
+
+
 def q_sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.where(F.col("vec_id") < 10)
@@ -2528,4 +2580,5 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dedup_minhash_lsh_capped": (q_dedup_minhash_lsh_capped, _sql_minhash_lsh_capped()),
     "mm_audio_chunks": (q_mm_audio_chunks, _SQL_MM_AUDIO_CHUNKS),
     "curate_keep_best": (q_curate_keep_best, _sql_curate_keep_best()),
+    "sim_quantized_topk": (q_sim_quantized_topk, _sql_quantized_topk()),
 }

@@ -269,6 +269,97 @@ def ivf_kmeans_topk(
     )
 
 
+def quantize_unit_col(vec_col: Column) -> Column:
+    """Symmetric int8 scalar quantization of the L2-NORMALIZED vector:
+    q[d] = round(u[d] · 127) with u = v/‖v‖ (zero vector → all zeros).
+    Normalize-then-quantize is what makes the integer dot a cosine proxy:
+    dot(qa, qb) ≈ 127² · cos(a, b). An affine per-dim min/max code (FAISS
+    SQ8-style) canNOT be dotted directly — the offset cross-terms swamp
+    the signal — so the symmetric unit form is the correct one for
+    dot-ranked candidates. Row-local, no corpus pass, no trained state:
+    at 100 TB the codes are computed in the same scan that consumes them
+    (or written once as a 4×-smaller column). 64 longs instead of 64
+    doubles per row keeps the candidate scan cache-resident."""
+    norm = F.sqrt(
+        F.aggregate(
+            vec_col,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return F.transform(
+        vec_col,
+        lambda x: F.when(
+            norm > 0, F.round(x.cast("double") * 127.0 / norm)
+        ).otherwise(F.lit(0.0)).cast("long"),
+    )
+
+
+def int_dot(a, b) -> Column:
+    """Exact integer dot product (long fold — order-independent, so the
+    candidate ranking is engine-reproducible, unlike a float dot)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def quantized_topk(
+    emb: DataFrame,
+    query_ids: DataFrame,
+    k: int = 5,
+    refine: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar-quantized ANN: candidates are scored with the EXACT integer
+    dot over int8-quantized vectors (cheap, cache-friendly, deterministic),
+    the top k·refine per query are re-ranked with exact cosine on the
+    original doubles, and the final top-k is exact within the candidate
+    set. The classic memory/recall dial: refine ↑ → recall → 1.
+
+    Plan: a single corpus scan scoring integer dots against the broadcast
+    quantized query set — the same join shape as brute force but with
+    integer arithmetic in the inner loop and the wide double vectors
+    touched only for the k·refine survivors. No training pass and no
+    corpus aggregate: the code is a row-local expression."""
+    from pyspark.sql import Window
+
+    qz = quantize_unit_col(F.col(vec_col))
+    c = emb.select(
+        F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("nv"),
+        qz.alias("nq"),
+    )
+    q = query_ids.select(
+        F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv"),
+        qz.alias("qq"),
+    )
+    cand = (
+        c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
+        .select(
+            "qid", "nid", "nv", "qv",
+            int_dot(F.col("nq"), F.col("qq")).alias("iscore"),
+        )
+    )
+    wi = Window.partitionBy("qid").orderBy(F.col("iscore").desc(), F.col("nid").asc())
+    survivors = (
+        cand.withColumn("_irk", F.row_number().over(wi))
+        .where(F.col("_irk") <= k * refine)
+        .select("qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "qid", "nid", F.col("rank").cast("long").alias("rank"),
+            F.round("cos", 4).alias("cos_r"),
+        )
+    )
+
+
 def ann_topk(
     emb: DataFrame,
     query_ids: DataFrame,
