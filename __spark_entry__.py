@@ -2355,6 +2355,72 @@ FROM u GROUP BY host
 """
 
 
+def q_crawl_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph PageRank for tier-crawl prioritization (operators/
+    graph.pagerank): sites (doc_id%23) link to the hosts their spans
+    reference; 3 fixed iterations of integer-ppm PageRank rank the
+    target hosts for the F9 priority pop. BIGINT arithmetic throughout →
+    hash-exact against the oracle."""
+    from ganda_spark.functions.urls import url_host
+    from ganda_spark.operators.graph import pagerank
+
+    docs = synth_span_docs(spark, sf_dir)
+    links = extract_urls(docs).withColumn("dst", url_host(F.col("url")))
+    edges = (
+        links.withColumn(
+            "src",
+            F.concat(
+                F.lit("site-"),
+                (
+                    F.regexp_extract(F.col("doc_id"), r"(\d+)", 1).cast("long") % 23
+                ).cast("string"),
+                F.lit(".test"),
+            ),
+        )
+        .select("src", "dst")
+        .distinct()
+    )
+    return pagerank(edges, iterations=3).select("node", "rank_ppm")
+
+
+def _sql_pagerank(iterations: int = 3) -> str:
+    its = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        its.append(f"""r{i} AS (
+  SELECT n.node,
+         CAST(150000 + COALESCE(SUM(r.r * 8500 // (10000 * o.outdeg)), 0)
+              AS BIGINT) AS r
+  FROM nodes n
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN o ON o.src = e.src
+  LEFT JOIN {prev} r ON r.node = e.src
+  GROUP BY n.node
+)""")
+        prev = f"r{i}"
+    its_sql = ",\n".join(its)
+    return f"""
+WITH e AS (
+  SELECT DISTINCT concat('site-', CAST(doc_id % 23 AS VARCHAR), '.test') AS src,
+                  dst
+  FROM (
+    SELECT doc_id, concat('host-', CAST(doc_id % 37 AS VARCHAR), '.test') AS dst
+    FROM documents
+    UNION ALL
+    SELECT doc_id, concat('img-', CAST(doc_id % 11 AS VARCHAR), '.test')
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'vid-0.test' FROM documents WHERE doc_id % 3 = 0
+  )
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+o AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+{its_sql}
+SELECT node, r AS rank_ppm FROM {prev}
+"""
+
+
 # ---------------------------------------------------------------------------
 # deterministic sampling + train/holdout split (operators/sampling.py): the
 # corpus sample must be reproducible and auditable — hash order, not RNG
@@ -2581,4 +2647,5 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "mm_audio_chunks": (q_mm_audio_chunks, _SQL_MM_AUDIO_CHUNKS),
     "curate_keep_best": (q_curate_keep_best, _sql_curate_keep_best()),
     "sim_quantized_topk": (q_sim_quantized_topk, _sql_quantized_topk()),
+    "crawl_host_pagerank": (q_crawl_host_pagerank, _sql_pagerank()),
 }

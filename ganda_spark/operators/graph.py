@@ -1,0 +1,104 @@
+"""Host-graph ranking for crawl prioritization.
+
+The reference's scheduler orders the frontier by a caller-supplied
+priority column (cli.go:52-156 exposes no ranking of its own); a
+web-scale tier crawl needs that priority to come from the link graph
+itself — rank hosts by inbound link mass and feed the score into the
+F9 priority pop. This module supplies the standard tool: fixed-point
+PageRank over a (src_host, dst_host) edge table.
+
+Engine-reproducibility design: ranks are BIGINT parts-per-million and
+every per-edge contribution is an integer floor-division
+(`rank · damping_bp DIV (10000 · outdeg)`), so the per-node sum is an
+associative integer reduction — any engine, any partitioning, any
+iteration order produces bit-identical ranks (the same integer-bp trick
+as kmeans_centroids and the text quality metrics). Float PageRank would
+hash-differ across engines on summation order alone.
+
+Scale posture (100 TB / 10^9-edge graph):
+  * the edge⋈outdeg table is persisted ONCE; each iteration is one
+    src-keyed join shuffle + one dst-keyed aggregation shuffle — the
+    minimum for distributed PageRank without preserved partitioning.
+  * iterations is a small fixed constant (3-5 is the crawl-
+    prioritization standard), so the unrolled lineage stays shallow and
+    needs no per-iteration spool (contrast connected_components, whose
+    iteration count is data-dependent).
+  * dangling-node mass is dropped (the simplified form): rank is used
+    as a relative priority, not a probability, so renormalization buys
+    nothing but an extra global aggregate per iteration.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+PPM = 1_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping_bp: int = 8500,
+    cache_out: list | None = None,
+) -> DataFrame:
+    """Fixed-iteration integer PageRank.
+
+    edges: one row per DISTINCT directed edge (callers dedupe; edge
+    multiplicity would silently reweight the graph). Returns
+    (node, rank_ppm) for every node appearing as src or dst, where
+    rank_ppm starts at 1,000,000 and each iteration sets
+
+        rank(v) = (10000 − damping_bp)·PPM DIV 10000
+                  + Σ_{u→v} rank(u)·damping_bp DIV (10000·outdeg(u))
+
+    — all BIGINT arithmetic, so results are bit-identical across
+    engines and partitionings.
+
+    cache_out: the pop_batch cache-hygiene pattern — the persisted
+    edge⋈outdeg table is appended so the caller can unpersist after its
+    action; with None the cache is released with the session (fine for
+    one-shot queries, wrong inside a long-running loop).
+    """
+    if not 0 < damping_bp < 10_000:
+        raise ValueError(f"damping_bp must be in (0, 10000), got {damping_bp}")
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .unionByName(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    out = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_outdeg"))
+    # one persisted (src, dst, outdeg) table; iterations only join it
+    ed = e.join(out, "_src").persist()
+    base = (10_000 - damping_bp) * PPM // 10_000
+
+    ranks = nodes.select("node", F.lit(PPM).cast("long").alias("rank_ppm"))
+    for _ in range(iterations):
+        contribs = ed.join(
+            ranks.withColumnRenamed("node", "_src"), "_src"
+        ).select(
+            F.col("_dst").alias("node"),
+            F.expr(f"rank_ppm * {damping_bp} DIV (10000 * _outdeg)").alias("_c"),
+        )
+        ranks = (
+            nodes.join(
+                contribs.groupBy("node").agg(F.sum("_c").alias("_in")),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce(F.col("_in"), F.lit(0)))
+                .cast("long")
+                .alias("rank_ppm"),
+            )
+        )
+    if cache_out is not None:
+        cache_out.append(ed)
+    return ranks
