@@ -1777,6 +1777,59 @@ FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
 """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (functions/text.repetition_metrics):
+    duplicate-word fraction, top-bigram coverage, duplicated-trigram
+    fraction in integer bp, plus the keep gate — shuffle-free Column
+    projection."""
+    from ganda_spark.functions.text import repetition_metrics
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_metrics(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "dup_word_bp",
+        "top_bigram_bp",
+        "dup_trigram_bp",
+        "keep_repetition",
+    )
+
+
+_SQL_REPETITION = """
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id, w,
+         [w[i] || ' ' || w[i+1] for i in generate_series(1, len(w) - 1)] AS bg,
+         [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+          for i in generate_series(1, len(w) - 2)] AS tg
+  FROM t
+),
+topb AS (
+  SELECT doc_id, max(c) AS mx FROM (
+    SELECT doc_id, b, count(*) AS c
+    FROM (SELECT doc_id, unnest(bg) AS b FROM g) GROUP BY doc_id, b
+  ) GROUP BY doc_id
+)
+SELECT g.doc_id,
+  CAST(CASE WHEN len(w) > 0
+       THEN (len(w) - len(list_distinct(w))) * 10000 // len(w)
+       ELSE 0 END AS BIGINT) AS dup_word_bp,
+  CAST(CASE WHEN len(w) >= 2 THEN topb.mx * 10000 // len(bg)
+       ELSE 0 END AS BIGINT) AS top_bigram_bp,
+  CAST(CASE WHEN len(w) >= 3
+       THEN (len(tg) - len(list_distinct(tg))) * 10000 // len(tg)
+       ELSE 0 END AS BIGINT) AS dup_trigram_bp,
+  (len(w) < 8 OR
+   (CASE WHEN len(w) >= 2 THEN topb.mx * 10000 // len(bg) ELSE 0 END <= 2000
+    AND CASE WHEN len(w) >= 3
+        THEN (len(tg) - len(list_distinct(tg))) * 10000 // len(tg)
+        ELSE 0 END <= 3000)) AS keep_repetition
+FROM g LEFT JOIN topb ON g.doc_id = topb.doc_id
+"""
+
+
 def q_text_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extraction stub: hash-projection bag-of-words embedding in
     exact integer basis points (the cross-engine-stable oracle form)."""
@@ -2648,4 +2701,5 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "curate_keep_best": (q_curate_keep_best, _sql_curate_keep_best()),
     "sim_quantized_topk": (q_sim_quantized_topk, _sql_quantized_topk()),
     "crawl_host_pagerank": (q_crawl_host_pagerank, _sql_pagerank()),
+    "text_repetition": (q_text_repetition, _SQL_REPETITION),
 }

@@ -134,6 +134,73 @@ def embed_text(df: DataFrame, text_col: str = "text", dims: int = EMBED_DIMS) ->
     )
 
 
+def repetition_metrics(
+    df: DataFrame,
+    text_col: str = "text",
+    top_bigram_max_bp: int = 2000,
+    dup_trigram_max_bp: int = 3000,
+    min_gate_words: int = 8,
+) -> DataFrame:
+    """Gopher/C4-family repetition filters (Rae et al. 2021 §A1.1: a page
+    is discarded when too much of it is the same n-gram repeated): per-doc
+    duplicate-word fraction, most-frequent-bigram coverage, duplicated-
+    trigram fraction — integer BASIS POINTS like quality_metrics, so the
+    gate is engine-exact.
+
+    All pure Column expressions over the word array — a shuffle-FREE
+    projection (contrast explode+groupBy per n-gram, which would shuffle
+    |corpus|·|doc| rows at 100 TB). The top-bigram scan is O(u·n) per doc
+    (u = distinct bigrams) via filter-inside-transform; documents are
+    bounded by the 1 MB ingest guard, so the quadratic term is capped and
+    stays inside codegen.
+
+    keep_repetition = top_bigram_bp ≤ top_bigram_max_bp AND
+    dup_trigram_bp ≤ dup_trigram_max_bp (defaults: 20% top-bigram
+    coverage, 30% duplicated trigrams — the Gopher-table neighborhood).
+    The bp columns report the TRUE fractions even for tiny docs (a
+    2-word doc's single bigram covers 100%), but docs under
+    min_gate_words pass the gate unconditionally: with a handful of
+    n-grams the fraction has no evidential weight, and Gopher likewise
+    scopes repetition filters to documents of meaningful length.
+    Docs with no bigrams/trigrams at all score 0."""
+    w = f"split({text_col}, ' ')"
+    bg = f"zip_with(slice({w}, 1, size({w}) - 1), slice({w}, 2, size({w}) - 1), (a, b) -> concat(a, ' ', b))"
+    # trigram k = word[k] + ' ' + bigram[k+1]
+    tg = (
+        f"zip_with(slice({w}, 1, size({w}) - 2), slice({bg}, 2, size({w}) - 2), "
+        f"(a, p) -> concat(a, ' ', p))"
+    )
+    dup_word = (
+        f"CASE WHEN size({w}) > 0 THEN "
+        f"(size({w}) - size(array_distinct({w}))) * 10000 DIV size({w}) "
+        f"ELSE 0 END"
+    )
+    top_bigram = (
+        f"CASE WHEN size({w}) >= 2 THEN "
+        f"array_max(transform(array_distinct({bg}), "
+        f"x -> size(filter({bg}, y -> y = x)))) * 10000 DIV size({bg}) "
+        f"ELSE 0 END"
+    )
+    dup_trigram = (
+        f"CASE WHEN size({w}) >= 3 THEN "
+        f"(size({tg}) - size(array_distinct({tg}))) * 10000 DIV size({tg}) "
+        f"ELSE 0 END"
+    )
+    out = (
+        df.withColumn("dup_word_bp", F.expr(dup_word).cast("long"))
+        .withColumn("top_bigram_bp", F.expr(top_bigram).cast("long"))
+        .withColumn("dup_trigram_bp", F.expr(dup_trigram).cast("long"))
+    )
+    return out.withColumn(
+        "keep_repetition",
+        (F.expr(f"size({w})") < min_gate_words)
+        | (
+            (F.col("top_bigram_bp") <= top_bigram_max_bp)
+            & (F.col("dup_trigram_bp") <= dup_trigram_max_bp)
+        ),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Order-dependent rolling fingerprint: Σ_k h32(word_k)·(((k-1)%31)+1)
     mod p — position-sensitive (a permuted document fingerprints

@@ -1,0 +1,71 @@
+"""Gopher-style repetition filters (functions/text.repetition_metrics):
+hand-computed fractions, degenerate shorts, gate semantics, JVM-only plan."""
+
+import pyspark.sql.functions as F
+
+from ganda_spark.functions.text import repetition_metrics
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_hand_computed_fractions(spark):
+    df = repetition_metrics(
+        _docs(
+            spark,
+            [
+                "a a a a",          # 0: fully repetitive
+                "w x y z q r",      # 1: all distinct
+                "a b a b a b",      # 2: alternating
+            ],
+        )
+    )
+    r = {row.doc_id: row for row in df.collect()}
+    # doc 0: 4 words 1 distinct → (4-1)*1e4//4 = 7500; bigrams all 'a a'
+    # (3/3 → 10000); trigrams 2, distinct 1 → 5000; under the gate floor
+    assert (r[0].dup_word_bp, r[0].top_bigram_bp, r[0].dup_trigram_bp) == (
+        7500, 10000, 5000,
+    )
+    assert r[0].keep_repetition  # 4 words < min_gate_words
+    # doc 1: 6 distinct words → 5 bigrams each once: TRUE top coverage is
+    # 1/5 = 2000 bp; under the 8-word gate floor it is kept regardless
+    assert (r[1].dup_word_bp, r[1].top_bigram_bp, r[1].dup_trigram_bp) == (0, 2000, 0)
+    assert r[1].keep_repetition
+    # doc 2: 6 words 2 distinct → 4*1e4//6 = 6666; bigrams
+    # [ab,ba,ab,ba,ab] top 'a b' 3/5 → 6000; trigrams 4, distinct 2 → 5000
+    assert (r[2].dup_word_bp, r[2].top_bigram_bp, r[2].dup_trigram_bp) == (
+        6666, 6000, 5000,
+    )
+
+
+def test_short_docs_pass_gate(spark):
+    """Docs under min_gate_words pass unconditionally even when their raw
+    fraction is saturated (a 2-word doc's one bigram covers 100%) — the
+    fraction has no evidential weight at that length."""
+    df = repetition_metrics(_docs(spark, ["solo", "two words", "a a a a"]))
+    r = {row.doc_id: row for row in df.collect()}
+    assert r[0].top_bigram_bp == 0 and r[0].dup_trigram_bp == 0
+    assert r[1].top_bigram_bp == 10000  # true fraction, reported honestly
+    assert all(row.keep_repetition for row in r.values())
+    # ...but a LONG saturated doc is discarded
+    long_rep = repetition_metrics(_docs(spark, ["a " * 19 + "a"])).collect()[0]
+    assert long_rep.top_bigram_bp == 10000 and not long_rep.keep_repetition
+
+
+def test_thresholds_are_parameters(spark):
+    df = repetition_metrics(
+        _docs(spark, ["a b a b c d e f g h"]), top_bigram_max_bp=10_000,
+        dup_trigram_max_bp=10_000,
+    )
+    assert df.collect()[0].keep_repetition
+
+
+def test_plan_is_jvm_only(spark):
+    df = repetition_metrics(_docs(spark, ["a b c"]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # shuffle-free projection: no Exchange in the plan
+    assert "Exchange" not in plan
