@@ -2436,7 +2436,10 @@ def q_crawl_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=3).select("node", "rank_ppm")
 
 
-def _sql_pagerank(iterations: int = 3) -> str:
+def _pagerank_ctes(iterations: int = 3) -> tuple[str, str]:
+    """(WITH-body, final-relation-name) for the integer-ppm PageRank over
+    the synthetic site→host graph — shared by the pagerank oracle and the
+    tiered-pop composition oracle."""
     its = []
     prev = "r0"
     for i in range(1, iterations + 1):
@@ -2452,8 +2455,7 @@ def _sql_pagerank(iterations: int = 3) -> str:
 )""")
         prev = f"r{i}"
     its_sql = ",\n".join(its)
-    return f"""
-WITH e AS (
+    body = f"""e AS (
   SELECT DISTINCT concat('site-', CAST(doc_id % 23 AS VARCHAR), '.test') AS src,
                   dst
   FROM (
@@ -2469,8 +2471,82 @@ WITH e AS (
 nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
 o AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
 r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
-{its_sql}
-SELECT node, r AS rank_ppm FROM {prev}
+{its_sql}"""
+    return body, prev
+
+
+def _sql_pagerank(iterations: int = 3) -> str:
+    body, final = _pagerank_ctes(iterations)
+    return f"WITH {body}\nSELECT node, r AS rank_ppm FROM {final}"
+
+
+def q_crawl_tiered_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier crawl end-to-end: PageRank over the doc link graph ranks the
+    37 frontier hosts, ntile(3) cuts them into tiers, tier sets the
+    per-host pop budget (6/3/1), and the F9 priority pop releases under
+    those budgets. The tier table is dimension-sized (O(hosts), 37 rows)
+    so its global ntile window and the budgets join are broadcast-scale —
+    the frontier, the only big table, sees exactly the one pop shuffle."""
+    from pyspark.sql import Window
+
+    ranks = q_crawl_host_pagerank(spark, sf_dir)
+    wt = Window.orderBy(F.desc("rank_ppm"), F.asc("node"))
+    tiers = (
+        ranks.where(F.col("node").like("host-%"))
+        .select(
+            F.col("node").alias("host"),
+            F.ntile(3).over(wt).alias("tier"),
+        )
+        .withColumn(
+            "budget",
+            F.when(F.col("tier") == 1, 6).when(F.col("tier") == 2, 3).otherwise(1),
+        )
+    )
+    frontier = seed_frontier(spark, sf_dir)
+    released, _ = pop_batch(
+        frontier,
+        EngineConfig(per_host_budget=1),
+        host_budgets=tiers.select("host", "budget"),
+    )
+    return (
+        released.groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_released"))
+        .join(F.broadcast(tiers), "host")
+        .select(
+            "host",
+            F.col("tier").cast("long").alias("tier"),
+            F.col("budget").cast("long").alias("budget"),
+            F.col("n_released").cast("long").alias("n_released"),
+        )
+    )
+
+
+def _sql_tiered_pop() -> str:
+    body, final = _pagerank_ctes()
+    return f"""
+WITH {body},
+{_DUCK_FRONTIER},
+tiers AS (
+  SELECT node AS host,
+         ntile(3) OVER (ORDER BY r DESC, node ASC) AS tier
+  FROM {final} WHERE node LIKE 'host-%'
+),
+budgets AS (
+  SELECT host, tier,
+         CASE tier WHEN 1 THEN 6 WHEN 2 THEN 3 ELSE 1 END AS budget
+  FROM tiers
+),
+released AS (
+  SELECT f.host, b.tier, b.budget FROM (
+    SELECT *, row_number() OVER (PARTITION BY host
+                                 ORDER BY priority, seq) AS rk
+    FROM frontier
+  ) f JOIN budgets b ON f.host = b.host
+  WHERE f.rk <= b.budget
+)
+SELECT host, CAST(tier AS BIGINT) AS tier, CAST(budget AS BIGINT) AS budget,
+       CAST(count(*) AS BIGINT) AS n_released
+FROM released GROUP BY host, tier, budget
 """
 
 
@@ -2702,4 +2778,5 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "sim_quantized_topk": (q_sim_quantized_topk, _sql_quantized_topk()),
     "crawl_host_pagerank": (q_crawl_host_pagerank, _sql_pagerank()),
     "text_repetition": (q_text_repetition, _SQL_REPETITION),
+    "crawl_tiered_pop": (q_crawl_tiered_pop, _sql_tiered_pop()),
 }

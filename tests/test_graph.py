@@ -71,6 +71,22 @@ def test_cache_out_and_jvm_only_plan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_tiered_pop_composition(spark, sf_dir):
+    """Tier crawl: PageRank tiers the 37 frontier hosts 13/12/12, budgets
+    6/3/1 bound every host's release count."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["crawl_tiered_pop"](spark, sf_dir).collect()
+    assert len(rows) == 37
+    from collections import Counter
+
+    sizes = Counter(r.tier for r in rows)
+    assert (sizes[1], sizes[2], sizes[3]) == (13, 12, 12)
+    for r in rows:
+        assert r.budget == {1: 6, 2: 3, 3: 1}[r.tier]
+        assert 0 < r.n_released <= r.budget
+
+
 def test_validation(spark):
     e = _edges(spark, [("a", "b")])
     with pytest.raises(ValueError, match="damping_bp"):
