@@ -1830,6 +1830,55 @@ FROM g LEFT JOIN topb ON g.doc_id = topb.doc_id
 """
 
 
+def _pii_inject(cast: str) -> str:
+    """Dialect-correct injection of deterministic PII strings into the
+    synthetic documents (whose texts carry none) so the detector/redactor
+    has real work; identical row set in Spark and DuckDB by construction."""
+    did = "CAST(doc_id AS BIGINT)"
+    ds = f"CAST({did} AS {cast})"
+    return (
+        f"CASE {did} % 5 "
+        f"WHEN 0 THEN text || ' contact user' || {ds} || '@example.com now' "
+        f"WHEN 1 THEN text || ' call 415-555-0101 or 212-555-0199' "
+        f"WHEN 2 THEN text || ' ssn 078-05-1120 on file' "
+        f"WHEN 3 THEN text || ' from 10.1.2.3 and 192.168.0.1' "
+        f"ELSE text END"
+    )
+
+
+def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection counts + redaction (functions/pii): shuffle-free
+    regexp Column projection over documents with injected PII."""
+    from ganda_spark.functions.pii import pii_metrics, redact_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "text", F.expr(_pii_inject("STRING"))
+    )
+    out = redact_pii(pii_metrics(docs))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_email",
+        "n_ssn",
+        "n_ipv4",
+        "n_phone",
+        "redacted",
+    )
+
+
+def _sql_text_pii() -> str:
+    from ganda_spark.functions.pii import duckdb_pii_sql
+
+    frags = duckdb_pii_sql("text")
+    cols = ",\n  ".join(f"{sql} AS {name}" for name, sql in frags.items())
+    return f"""
+SELECT doc_id,
+  {cols}
+FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             {_pii_inject('VARCHAR')} AS text
+      FROM documents)
+"""
+
+
 def q_text_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extraction stub: hash-projection bag-of-words embedding in
     exact integer basis points (the cross-engine-stable oracle form)."""
@@ -2779,4 +2828,5 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "crawl_host_pagerank": (q_crawl_host_pagerank, _sql_pagerank()),
     "text_repetition": (q_text_repetition, _SQL_REPETITION),
     "crawl_tiered_pop": (q_crawl_tiered_pop, _sql_tiered_pop()),
+    "text_pii": (q_text_pii, _sql_text_pii()),
 }
