@@ -1879,6 +1879,55 @@ FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id,
 """
 
 
+def q_text_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam): eval set = docs
+    with doc_id % 37 = 0, corpus = the rest; flag corpus docs sharing any
+    word 5-gram with the eval set (planted near-dups straddle the split).
+    Bench n-grams broadcast; corpus n-grams are a shuffle-free projection."""
+    from ganda_spark.operators.decontam import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    bench = docs.filter("doc_id % 37 = 0")
+    corpus = docs.filter("doc_id % 37 != 0")
+    out = decontaminate(corpus, bench, n=5)
+    return out.select(
+        "doc_id", "n_doc_ngrams", "n_hit_ngrams", "hit_bp", "contaminated"
+    )
+
+
+_SQL_DECONTAM = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(list_slice(w, i, i + 4), ' ')
+                        for i in generate_series(1, len(w) - 4)]) AS ng
+  FROM d
+),
+bench AS (
+  SELECT DISTINCT unnest(ng) AS ngram FROM g WHERE doc_id % 37 = 0
+),
+corpus AS (SELECT * FROM g WHERE doc_id % 37 <> 0),
+hits AS (
+  SELECT c.doc_id, count(*) AS n_hit
+  FROM (SELECT doc_id, unnest(ng) AS ngram FROM corpus) c
+  JOIN bench USING (ngram)
+  GROUP BY c.doc_id
+)
+SELECT corpus.doc_id,
+  CAST(len(ng) AS BIGINT) AS n_doc_ngrams,
+  CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit_ngrams,
+  CAST(CASE WHEN len(ng) > 0 THEN coalesce(n_hit, 0) * 10000 // len(ng)
+       ELSE 0 END AS BIGINT) AS hit_bp,
+  coalesce(n_hit, 0) > 0 AS contaminated
+FROM corpus LEFT JOIN hits USING (doc_id)
+"""
+
+
 def q_text_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extraction stub: hash-projection bag-of-words embedding in
     exact integer basis points (the cross-engine-stable oracle form)."""
@@ -2829,4 +2878,5 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "text_repetition": (q_text_repetition, _SQL_REPETITION),
     "crawl_tiered_pop": (q_crawl_tiered_pop, _sql_tiered_pop()),
     "text_pii": (q_text_pii, _sql_text_pii()),
+    "text_decontam": (q_text_decontam, _SQL_DECONTAM),
 }

@@ -1,0 +1,85 @@
+"""Benchmark decontamination for training corpora: flag documents whose
+word n-grams collide with a (small) evaluation-set n-gram collection —
+the standard "remove eval contamination before training" pass (the
+13-gram rule of GPT-3 appendix C, here with configurable n).
+
+Scale shape (the 100 TB contract):
+- doc n-gram construction is a shuffle-free Column projection
+  (sequence + slice + array_join — codegen'd, no explode-then-groupBy
+  over |corpus|·|doc| rows);
+- the benchmark side is MB-to-GB scale by nature (eval sets), so its
+  distinct n-gram set is BROADCAST to the corpus-side hash join — the
+  corpus is never shuffled to meet it;
+- the only corpus-keyed shuffle is the groupBy(doc_id) over HIT rows
+  (bounded by contaminated-doc n-grams, a vanishing fraction of the
+  corpus), plus the hits-back-onto-docs join, which AQE resolves to a
+  broadcast when hits stay small and a doc_id sort-merge otherwise.
+For benchmark collections too large to broadcast, the same plan works
+with the bloom-prefilter pattern of operators/seen.py (build_bloom over
+bench n-grams, prefilter doc n-grams executor-side) — noted, not needed
+at eval-set scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ngram_col(text_col: str, n: int) -> F.Column:
+    """DISTINCT word n-grams of `text_col` as array<string> — pure Column
+    (empty for docs shorter than n words; the size guard matters because
+    Spark's sequence(1, 0) yields a DESCENDING [1, 0], not [])."""
+    w = f"split({text_col}, ' ')"
+    grams = (
+        f"CASE WHEN size({w}) >= {n} THEN "
+        f"transform(sequence(1, size({w}) - {n} + 1), "
+        f"i -> array_join(slice({w}, i, {n}), ' ')) "
+        f"ELSE array() END"
+    )
+    return F.array_distinct(F.expr(grams))
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Annotate `docs` with benchmark-overlap evidence:
+
+    - n_doc_ngrams: distinct word n-grams in the doc
+    - n_hit_ngrams: how many of those appear anywhere in `bench`
+    - hit_bp: n_hit·10⁴ div n_doc (integer basis points, engine-exact)
+    - contaminated: any hit at all (the conservative GPT-3-style rule;
+      callers wanting a fraction threshold gate on hit_bp)
+    """
+    grams = ngram_col(text_col, n)
+    bench_grams = (
+        bench.select(F.explode(ngram_col(text_col, n)).alias("ngram")).distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(grams).alias("ngram")
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "ngram", "inner")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit_ngrams"))
+    )
+    out = (
+        docs.withColumn("n_doc_ngrams", F.size(grams).cast("long"))
+        .join(hits, id_col, "left")
+        .withColumn(
+            "n_hit_ngrams", F.coalesce(F.col("n_hit_ngrams"), F.lit(0)).cast("long")
+        )
+    )
+    return out.withColumn(
+        "hit_bp",
+        F.when(
+            F.col("n_doc_ngrams") > 0,
+            F.expr("n_hit_ngrams * 10000 DIV n_doc_ngrams"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    ).withColumn("contaminated", F.col("n_hit_ngrams") > 0)
