@@ -1928,6 +1928,55 @@ FROM corpus LEFT JOIN hits USING (doc_id)
 """
 
 
+_MIX_WEIGHTS = {"src0": 4000, "src1": 3000, "src2": 2000, "src3": 1000}
+_MIX_BUDGET = 2000
+
+
+def q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing (operators/sampling.mix_to_budget): cut a
+    ~2000-token training mix at 40/30/20/10% across four sources, hash
+    order, next-fit quota boundary — deterministic and oracle-exact."""
+    from ganda_spark.operators.sampling import mix_to_budget
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn("doc_id", F.col("doc_id").cast("long"))
+        .withColumn(
+            "n_tokens", F.size(F.split(F.col("text"), " ")).cast("long")
+        )
+    )
+    out = mix_to_budget(docs, _MIX_WEIGHTS, _MIX_BUDGET, "n_tokens")
+    return out.select(
+        "doc_id", "source", "n_tokens", "mix_quota", "mix_prev_cum"
+    )
+
+
+def _sql_mix_corpus() -> str:
+    quota = " ".join(
+        f"WHEN '{s}' THEN {_MIX_BUDGET * bp // 10_000}"
+        for s, bp in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+q AS (
+  SELECT *,
+    CAST(CASE source {quota} ELSE 0 END AS BIGINT) AS mix_quota,
+    CAST(coalesce(sum(n_tokens) OVER (
+      PARTITION BY source
+      ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS mix_prev_cum
+  FROM d
+)
+SELECT doc_id, source, n_tokens, mix_quota, mix_prev_cum
+FROM q WHERE mix_prev_cum < mix_quota
+"""
+
+
 def q_text_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extraction stub: hash-projection bag-of-words embedding in
     exact integer basis points (the cross-engine-stable oracle form)."""
@@ -2879,4 +2928,5 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "crawl_tiered_pop": (q_crawl_tiered_pop, _sql_tiered_pop()),
     "text_pii": (q_text_pii, _sql_text_pii()),
     "text_decontam": (q_text_decontam, _SQL_DECONTAM),
+    "mix_corpus": (q_mix_corpus, _sql_mix_corpus()),
 }

@@ -123,3 +123,83 @@ def test_pack_next_fit_bounds_and_coverage(spark, sf_dir):
     assert_no_global_window(packed)
     plan = packed._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def _mix_docs(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "source",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def test_mix_to_budget_quota_bounds(spark, sf_dir):
+    from ganda_spark.operators.sampling import mix_to_budget
+
+    docs = _mix_docs(spark, sf_dir)
+    weights = {"src0": 5000, "src1": 3000, "src2": 2000}
+    out = mix_to_budget(docs, weights, budget=1000, size_col="n_tokens")
+    rows = out.collect()
+    # only weighted sources appear
+    assert {r.source for r in rows} <= set(weights)
+    mass = {s: 0 for s in weights}
+    max_row = {s: 0 for s in weights}
+    for r in rows:
+        mass[r.source] += r.n_tokens
+        max_row[r.source] = max(max_row[r.source], r.n_tokens)
+    avail = {
+        r.source: r.tot
+        for r in docs.groupBy("source").agg(F.sum("n_tokens").alias("tot")).collect()
+    }
+    for s, bp in weights.items():
+        quota = 1000 * bp // 10_000
+        # next-fit: reaches the quota (when mass allows), overshoots by
+        # less than one document
+        assert mass[s] < quota + max_row[s]
+        if avail[s] >= quota:
+            assert mass[s] >= quota
+
+
+def test_mix_to_budget_deterministic_under_repartition(spark, sf_dir):
+    from ganda_spark.operators.sampling import mix_to_budget
+
+    docs = _mix_docs(spark, sf_dir)
+    weights = {"src3": 6000, "src4": 4000}
+    a = mix_to_budget(docs, weights, budget=800, size_col="n_tokens")
+    b = mix_to_budget(
+        docs.repartition(13), weights, budget=800, size_col="n_tokens"
+    )
+    assert {(r.doc_id, r.mix_prev_cum) for r in a.collect()} == {
+        (r.doc_id, r.mix_prev_cum) for r in b.collect()
+    }
+
+
+def test_mix_to_budget_shards_split_quota(spark, sf_dir):
+    """shards=k sub-splits each source into k hash shards owning quota
+    div k — same determinism, k-way parallel windows, bounded slack."""
+    from ganda_spark.operators.sampling import mix_to_budget
+
+    docs = _mix_docs(spark, sf_dir)
+    weights = {"src0": 10_000}
+    k = 4
+    out = mix_to_budget(
+        docs, weights, budget=1200, size_col="n_tokens", shards=k
+    )
+    rows = out.collect()
+    shard_quota = 1200 * 10_000 // 10_000 // k
+    assert all(r.mix_quota == shard_quota for r in rows)
+    assert all(r.mix_prev_cum < shard_quota for r in rows)
+    # reruns reproduce the exact shard assignment and mix
+    again = mix_to_budget(
+        docs, weights, budget=1200, size_col="n_tokens", shards=k
+    )
+    assert sorted(r.doc_id for r in rows) == sorted(
+        r.doc_id for r in again.collect()
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="shards"):
+        mix_to_budget(docs, weights, budget=10, size_col="n_tokens", shards=0)
