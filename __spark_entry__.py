@@ -1977,6 +1977,78 @@ FROM q WHERE mix_prev_cum < mix_quota
 """
 
 
+_TRAP_MESSY = (
+    "CASE seq % 5 "
+    "WHEN 0 THEN url || '/a/b/c/d/e/f/g/h/i/j/k/l/m/n/o/p/q/r' "
+    "WHEN 1 THEN url || '/cal/2024/cal/2024/cal/2024' "
+    "WHEN 2 THEN url || '?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9' "
+    "WHEN 3 THEN url || repeat('x', 2100) "
+    "ELSE url END"
+)
+
+
+def q_crawl_trap_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spider-trap guards (functions/urls.url_trap_metrics) over a messy
+    frontier: generated-path depth, calendar-loop segment repeats, query-
+    param explosions, and oversized URLs each trip their gate — a
+    shuffle-free projection applied before politeness/fetch."""
+    from ganda_spark.functions.urls import url_trap_metrics
+
+    frontier = seed_frontier(spark, sf_dir).withColumn(
+        "url", F.expr(_TRAP_MESSY)
+    )
+    out = url_trap_metrics(frontier)
+    return out.select(
+        "seq",
+        "depth",
+        "n_params",
+        "max_seg_repeat",
+        "url_len",
+        "trap_reason",
+        "is_trap",
+    )
+
+
+_SQL_TRAP = f"""
+WITH {{frontier}},
+m AS (SELECT seq, {_TRAP_MESSY} AS url FROM frontier),
+p AS (
+  SELECT seq, url,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
+    regexp_extract(url, '^[^?#]*\\?([^#]*)', 1) AS qry
+  FROM m
+),
+s AS (
+  SELECT *, list_filter(string_split(pth, '/'), x -> x <> '') AS segs,
+    CAST(CASE WHEN qry = '' THEN 0
+         ELSE len(string_split(qry, '&')) END AS BIGINT) AS n_params,
+    CAST(length(url) AS BIGINT) AS url_len
+  FROM p
+),
+r AS (
+  SELECT *,
+    CAST(len(segs) AS BIGINT) AS depth,
+    CAST(CASE WHEN len(segs) > 0
+         THEN list_max([len(list_filter(segs, y -> y = x))
+                        for x in list_distinct(segs)])
+         ELSE 0 END AS BIGINT) AS max_seg_repeat
+  FROM s
+)
+SELECT seq, depth, n_params, max_seg_repeat, url_len,
+  CASE WHEN depth > 16 THEN 'depth'
+       WHEN n_params > 8 THEN 'params'
+       WHEN max_seg_repeat >= 3 THEN 'repeat'
+       WHEN url_len > 2048 THEN 'length'
+       ELSE 'ok' END AS trap_reason,
+  (CASE WHEN depth > 16 THEN 'depth'
+        WHEN n_params > 8 THEN 'params'
+        WHEN max_seg_repeat >= 3 THEN 'repeat'
+        WHEN url_len > 2048 THEN 'length'
+        ELSE 'ok' END) <> 'ok' AS is_trap
+FROM r
+"""
+
+
 def q_text_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extraction stub: hash-projection bag-of-words embedding in
     exact integer basis points (the cross-engine-stable oracle form)."""
@@ -2929,4 +3001,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "text_pii": (q_text_pii, _sql_text_pii()),
     "text_decontam": (q_text_decontam, _SQL_DECONTAM),
     "mix_corpus": (q_mix_corpus, _sql_mix_corpus()),
+    "crawl_trap_filter": (
+        q_crawl_trap_filter,
+        _SQL_TRAP.format(frontier=_DUCK_FRONTIER),
+    ),
 }

@@ -38,6 +38,73 @@ def canonicalize_url(url: Column) -> Column:
     return F.concat(scheme, F.lit("://"), hostport, tail)
 
 
+def url_trap_metrics(
+    df,
+    url_col: str = "url",
+    max_depth: int = 16,
+    max_params: int = 8,
+    max_repeat: int = 3,
+    max_len: int = 2048,
+):
+    """Spider-trap guards for the frontier: calendar loops, session-id
+    explosions, and infinitely-deep generated paths burn crawl budget at
+    10^10-URL scale, so eligible URLs are gated BEFORE politeness/fetch.
+
+    Metrics (all pure Column regexp/array expressions — shuffle-free,
+    applied as a projection on the frontier scan):
+      depth           path-segment count
+      n_params        query-parameter count
+      max_seg_repeat  occurrences of the most-repeated path segment
+                      (the /cal/2024/cal/2024/... trap signature)
+      url_len         total URL length
+    trap_reason ∈ {depth, params, repeat, length, ok} (first rule that
+    fires, in that fixed order); is_trap = reason ≠ ok.
+
+    Path/query come from regexp (not parse_url) so an RE2 oracle computes
+    byte-identical values: group-1 extraction yields '' (never NULL) in
+    both engines when a component is absent.
+    """
+    path = F.regexp_extract(
+        F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    query = F.regexp_extract(F.col(url_col), r"^[^?#]*\?([^#]*)", 1)
+    # materialize path first so the filter lambda sees a named column
+    out = (
+        df.withColumn("_p", path)
+        .withColumn("_q", query)
+        .withColumn("_segs", F.expr("filter(split(_p, '/'), s -> s != '')"))
+    )
+    depth = F.size("_segs").cast("long")
+    n_params = (
+        F.when(F.col("_q") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.col("_q"), "&")))
+        .cast("long")
+    )
+    max_seg_repeat = F.expr(
+        "CASE WHEN size(_segs) > 0 THEN "
+        "array_max(transform(array_distinct(_segs), "
+        "x -> size(filter(_segs, y -> y = x)))) ELSE 0 END"
+    ).cast("long")
+    url_len = F.length(F.col(url_col)).cast("long")
+    out = (
+        out.withColumn("depth", depth)
+        .withColumn("n_params", n_params)
+        .withColumn("max_seg_repeat", max_seg_repeat)
+        .withColumn("url_len", url_len)
+        .drop("_p", "_q", "_segs")
+    )
+    reason = (
+        F.when(F.col("depth") > max_depth, F.lit("depth"))
+        .when(F.col("n_params") > max_params, F.lit("params"))
+        .when(F.col("max_seg_repeat") >= max_repeat, F.lit("repeat"))
+        .when(F.col("url_len") > max_len, F.lit("length"))
+        .otherwise(F.lit("ok"))
+    )
+    return out.withColumn("trap_reason", reason).withColumn(
+        "is_trap", F.col("trap_reason") != "ok"
+    )
+
+
 def url_hash64(url: Column) -> Column:
     """64-bit identity hash for the seen set — xxhash64 is JVM-native and
     the right key at 10^10 scale (bloom + anti-join key)."""

@@ -1,0 +1,67 @@
+"""Spider-trap URL guards (functions/urls.url_trap_metrics): per-reason
+hand cases, rule precedence, absent components, JVM-only shuffle-free
+plan."""
+
+from ganda_spark.functions.urls import url_trap_metrics
+
+
+def _urls(spark, urls):
+    return spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "seq long, url string"
+    )
+
+
+def test_each_trap_reason(spark):
+    out = url_trap_metrics(
+        _urls(
+            spark,
+            [
+                "http://h.test/" + "/".join(f"d{i}" for i in range(17)),
+                "http://h.test/cal/2024/cal/2024/cal/2024",
+                "http://h.test/p?" + "&".join(f"k{i}=v" for i in range(9)),
+                "http://h.test/p/" + "x" * 2100,
+                "http://h.test/a/b?k=v",
+            ],
+        )
+    )
+    r = {row.seq: row for row in out.collect()}
+    assert r[0].trap_reason == "depth" and r[0].depth == 17 and r[0].is_trap
+    assert r[1].trap_reason == "repeat" and r[1].max_seg_repeat == 3
+    assert r[2].trap_reason == "params" and r[2].n_params == 9
+    assert r[3].trap_reason == "length" and r[3].url_len > 2048
+    assert r[4].trap_reason == "ok" and not r[4].is_trap
+    assert (r[4].depth, r[4].n_params, r[4].max_seg_repeat) == (2, 1, 1)
+
+
+def test_rule_precedence_depth_first(spark):
+    """A URL tripping several rules reports the FIRST in the fixed order
+    depth > params > repeat > length — deterministic reason labels."""
+    deep_and_repeated = "http://h.test/" + "/".join(["loop"] * 20)
+    row = url_trap_metrics(_urls(spark, [deep_and_repeated])).collect()[0]
+    assert row.depth == 20 and row.max_seg_repeat == 20
+    assert row.trap_reason == "depth"
+
+
+def test_absent_components(spark):
+    out = url_trap_metrics(
+        _urls(spark, ["http://h.test", "http://h.test/", "http://h.test?a=1"])
+    )
+    r = {row.seq: row for row in out.collect()}
+    assert r[0].depth == 0 and r[0].n_params == 0 and r[0].max_seg_repeat == 0
+    assert r[1].depth == 0
+    assert r[2].depth == 0 and r[2].n_params == 1
+    assert all(not row.is_trap for row in r.values())
+
+
+def test_thresholds_are_parameters(spark):
+    u = ["http://h.test/a/b/c"]
+    strict = url_trap_metrics(_urls(spark, u), max_depth=2).collect()[0]
+    loose = url_trap_metrics(_urls(spark, u), max_depth=3).collect()[0]
+    assert strict.trap_reason == "depth" and loose.trap_reason == "ok"
+
+
+def test_jvm_only_shuffle_free_plan(spark):
+    out = url_trap_metrics(_urls(spark, ["http://h.test/a"]))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
