@@ -1592,6 +1592,92 @@ SELECT qid, nid, CAST(rank AS BIGINT) AS rank, cos_r FROM (
 """
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.semantic_dedup): k-means clusters
+    bound the pair scan; planted nudged copies (vec_id+100000) must be
+    flagged as duplicates of their originals at cosine ≥ 0.999."""
+    from ganda_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    nudged = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i == 0, x.cast("double") + 0.001).otherwise(
+                x.cast("double")
+            ),
+        ).alias("embedding"),
+    )
+    corpus = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    ).unionByName(nudged)
+    out = semantic_dedup(
+        corpus, n_centroids=16, iters=2, threshold_bp=9990, dim=EMBEDDING_DIM
+    )
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("list_id").cast("long").alias("list_id"),
+        "dup_of",
+        "is_semdup",
+    )
+
+
+def _sql_dedup_semantic() -> str:
+    cos_vc = _duck_cos("x.v", "c.cv")
+    cos_ab = _duck_cos("a.v", "b.v")
+
+    def assign(cent: str, out: str) -> str:
+        return f"""{out} AS (
+  SELECT vec_id, v, cid AS list_id FROM (
+    SELECT x.vec_id, x.v, c.cid,
+           row_number() OVER (PARTITION BY x.vec_id
+                              ORDER BY {cos_vc} DESC, c.cid ASC) AS rk
+    FROM e x CROSS JOIN {cent} c
+  ) WHERE rk = 1
+)"""
+
+    def update(assigned: str, out: str) -> str:
+        return f"""{out} AS (
+  SELECT cid, list(val ORDER BY d) AS cv FROM (
+    SELECT list_id AS cid, t.d,
+           (SUM(CAST(round(v[t.d] * 10000) AS BIGINT)) // COUNT(*)) / 10000.0
+             AS val
+    FROM {assigned}, generate_series(1, 64) AS t(d)
+    GROUP BY list_id, t.d
+  ) GROUP BY cid
+)"""
+
+    return f"""
+WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding::DOUBLE[] AS v
+              FROM embeddings),
+e AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 100000,
+         [CASE WHEN i = 1 THEN v[i] + 0.001 ELSE v[i] END
+          for i in generate_series(1, len(v))]
+  FROM base WHERE vec_id % 10 = 0
+),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+{assign('c0', 'a1')},
+{update('a1', 'c1')},
+{assign('c1', 'a2')},
+{update('a2', 'c2')},
+{assign('c2', 's')},
+pairs AS (
+  SELECT b.vec_id AS j, min(a.vec_id) AS dup_of
+  FROM s a JOIN s b USING (list_id)
+  WHERE a.vec_id < b.vec_id AND round({cos_ab}, 4) >= 0.9990
+  GROUP BY b.vec_id
+)
+SELECT s.vec_id, CAST(s.list_id AS BIGINT) AS list_id,
+       CAST(coalesce(p.dup_of, -1) AS BIGINT) AS dup_of,
+       p.dup_of IS NOT NULL AS is_semdup
+FROM s LEFT JOIN pairs p ON s.vec_id = p.j
+"""
+
+
 def q_sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-quantized ANN (symmetric int8 over the unit-normalized
     vector, q = round(u·127)): exact INTEGER dot for candidate ranking
@@ -2046,6 +2132,155 @@ SELECT seq, depth, n_params, max_seg_repeat, url_len,
         WHEN url_len > 2048 THEN 'length'
         ELSE 'ok' END) <> 'ok' AS is_trap
 FROM r
+"""
+
+
+def q_s11_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion (operators/robots.extract_sitemap_urls): build
+    one sitemap XML per host from the frontier (sorted <url><loc> entries)
+    and scrape the <loc> URLs back out with document ordinals — the
+    robots.txt `Sitemap:` discovery channel, round-tripped."""
+    from ganda_spark.operators.robots import extract_sitemap_urls
+
+    f = seed_frontier(spark, sf_dir)
+    entry = F.concat(F.lit("<url><loc>"), F.col("url"), F.lit("</loc></url>"))
+    sitemaps = f.groupBy("host").agg(
+        F.concat(
+            F.lit('<?xml version="1.0"?><urlset>'),
+            F.concat_ws("", F.sort_array(F.collect_list(entry))),
+            F.lit("</urlset>"),
+        ).alias("sitemap_xml")
+    )
+    return extract_sitemap_urls(sitemaps)
+
+
+_SQL_S11_SITEMAP = """
+WITH {frontier},
+sm AS (
+  SELECT host,
+    '<?xml version="1.0"?><urlset>' ||
+    string_agg('<url><loc>' || url || '</loc></url>', ''
+               ORDER BY '<url><loc>' || url || '</loc></url>') ||
+    '</urlset>' AS xml
+  FROM frontier GROUP BY host
+),
+x AS (
+  SELECT host, regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1) AS locs
+  FROM sm
+)
+SELECT host, replace(p.loc, '&amp;', '&') AS loc,
+       CAST(p.i - 1 AS BIGINT) AS loc_ordinal
+FROM (
+  SELECT host,
+         unnest([struct_pack(loc := locs[i], i := i)
+                 for i in generate_series(1, len(locs))]) AS p
+  FROM x
+)
+"""
+
+
+_PARAM_MESSY = (
+    "CASE seq % 4 "
+    "WHEN 0 THEN url || '?utm_source=x&b=2&a=1&fbclid=zzz' "
+    "WHEN 1 THEN url || '?z=9&a=1&utm_campaign=spring' "
+    "WHEN 2 THEN url || '?utm_medium=email' "
+    "ELSE url END"
+)
+
+
+def q_t9_param_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tracking-param strip + canonical param order
+    (functions/urls.canonicalize_params): one logical page stops fanning
+    out into unbounded utm_*/fbclid aliases in the seen set. Shuffle-free
+    projection over the frontier."""
+    from ganda_spark.functions.urls import canonicalize_params
+
+    def nparams(c):
+        q = F.regexp_extract(c, r"^[^?#]*\?([^#]*)", 1)
+        return (
+            F.when(q == "", F.lit(0))
+            .otherwise(F.size(F.split(q, "&")))
+            .cast("long")
+        )
+
+    frontier = seed_frontier(spark, sf_dir).withColumn(
+        "url_in", F.expr(_PARAM_MESSY)
+    )
+    canon = canonicalize_params(F.col("url_in"))
+    return frontier.select(
+        "seq",
+        "url_in",
+        canon.alias("url_canon"),
+        (nparams(F.col("url_in")) - nparams(canon)).alias("n_stripped"),
+    )
+
+
+_SQL_PARAM_CANON = f"""
+WITH {{frontier}},
+m AS (SELECT seq, {_PARAM_MESSY} AS url_in FROM frontier),
+p AS (
+  SELECT seq, url_in,
+    regexp_extract(url_in, '^([^?#]*)', 1) AS base,
+    regexp_extract(url_in, '^[^?#]*\\?([^#]*)', 1) AS qry
+  FROM m
+),
+k AS (
+  SELECT *,
+    CASE WHEN qry = '' THEN []::VARCHAR[]
+         ELSE list_sort(list_filter(string_split(qry, '&'),
+              x -> NOT (split_part(x, '=', 1) IN
+                          ('fbclid','gclid','msclkid','igshid','mc_eid')
+                        OR substr(split_part(x, '=', 1), 1, 4) = 'utm_')))
+         END AS kept,
+    CASE WHEN qry = '' THEN 0 ELSE len(string_split(qry, '&')) END AS n_raw
+  FROM p
+)
+SELECT seq, url_in,
+  CASE WHEN qry = '' THEN base
+       WHEN len(kept) = 0 THEN base
+       ELSE base || '?' || array_to_string(kept, '&') END AS url_canon,
+  CAST(n_raw - len(kept) AS BIGINT) AS n_stripped
+FROM k
+"""
+
+
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (functions/text.chunk_tokens,
+    window 24 / stride 16): explode(sequence) projection, chunk rows born
+    co-located with their parent doc — no shuffle."""
+    from ganda_spark.functions.text import chunk_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = chunk_tokens(docs, window=24, stride=16)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "chunk_id",
+        "chunk_text",
+        "n_chunk_tokens",
+    )
+
+
+_SQL_TEXT_CHUNKS = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS w
+  FROM documents
+),
+n AS (
+  SELECT doc_id, w,
+         CASE WHEN len(w) <= 24 THEN 1
+              ELSE 1 + (len(w) - 24 + 16 - 1) // 16 END AS n_chunks
+  FROM d
+),
+c AS (
+  SELECT doc_id, w, unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+  FROM n
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+  array_to_string(list_slice(w, chunk_id * 16 + 1, chunk_id * 16 + 24), ' ')
+    AS chunk_text,
+  CAST(len(list_slice(w, chunk_id * 16 + 1, chunk_id * 16 + 24)) AS BIGINT)
+    AS n_chunk_tokens
+FROM c
 """
 
 
@@ -3004,5 +3239,15 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "crawl_trap_filter": (
         q_crawl_trap_filter,
         _SQL_TRAP.format(frontier=_DUCK_FRONTIER),
+    ),
+    "t9_param_canon": (
+        q_t9_param_canon,
+        _SQL_PARAM_CANON.format(frontier=_DUCK_FRONTIER),
+    ),
+    "text_chunks": (q_text_chunks, _SQL_TEXT_CHUNKS),
+    "dedup_semantic": (q_dedup_semantic, _sql_dedup_semantic()),
+    "s11_sitemap_extract": (
+        q_s11_sitemap_extract,
+        _SQL_S11_SITEMAP.format(frontier=_DUCK_FRONTIER),
     ),
 }

@@ -201,6 +201,44 @@ def repetition_metrics(
     )
 
 
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into overlapping token windows (training-sequence /
+    RAG chunking): chunk k covers words [k·stride+1, k·stride+window]; a
+    doc of ≤ window words is one chunk; the last chunk may be short.
+    Overlap = window − stride tokens of context carried across chunks.
+
+    explode(sequence) over a per-row chunk count — a projection, NO
+    shuffle: chunk rows are born on the partition that holds the parent
+    doc, so downstream per-chunk ops start co-located with the document.
+
+    Adds: chunk_id (0-based), chunk_text, n_chunk_tokens.
+    """
+    if not (0 < stride <= window):
+        raise ValueError(f"need 0 < stride <= window, got {stride}/{window}")
+    w = f"split({text_col}, ' ')"
+    n_chunks = (
+        f"CASE WHEN size({w}) <= {window} THEN 1 "
+        f"ELSE 1 + (size({w}) - {window} + {stride} - 1) DIV {stride} END"
+    )
+    out = df.withColumn(
+        "chunk_id", F.explode(F.expr(f"sequence(0, {n_chunks} - 1)"))
+    ).withColumn(
+        "chunk_text",
+        F.expr(f"array_join(slice({w}, chunk_id * {stride} + 1, {window}), ' ')"),
+    )
+    return out.withColumn(
+        "chunk_id", F.col("chunk_id").cast("long")
+    ).withColumn(
+        "n_chunk_tokens",
+        F.size(F.split(F.col("chunk_text"), " ")).cast("long"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Order-dependent rolling fingerprint: Σ_k h32(word_k)·(((k-1)%31)+1)
     mod p — position-sensitive (a permuted document fingerprints

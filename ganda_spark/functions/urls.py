@@ -38,6 +38,49 @@ def canonicalize_url(url: Column) -> Column:
     return F.concat(scheme, F.lit("://"), hostport, tail)
 
 
+TRACKING_PREFIXES = ("utm_",)
+TRACKING_PARAMS = ("fbclid", "gclid", "msclkid", "igshid", "mc_eid")
+
+
+def canonicalize_params(
+    url: Column,
+    strip_prefixes: tuple[str, ...] = TRACKING_PREFIXES,
+    strip_params: tuple[str, ...] = TRACKING_PARAMS,
+) -> Column:
+    """Query-parameter canonicalization — the second half of seen-set
+    identity (T9 handles scheme/host/port/fragment): drop tracking
+    parameters (utm_*, fbclid, ...) that fan one logical page out into
+    unbounded URL aliases, then sort the survivors, so parameter ORDER
+    stops defeating the URL-seen set. Composes after canonicalize_url
+    (fragments already stripped there). A bare or fully-stripped query
+    loses its '?'. Pure Column expressions (split / filter / array_sort /
+    array_join) — byte-wise ASCII sort, reproducible by an external
+    oracle."""
+    base = F.regexp_extract(url, r"^([^?#]*)", 1)
+    query = F.regexp_extract(url, r"^[^?#]*\?([^#]*)", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: ~(
+                F.substring_index(p, "=", 1).isin(*strip_params)
+                | _any_prefix(p, strip_prefixes)
+            ),
+        )
+    )
+    return (
+        F.when(query == "", base)
+        .when(F.size(kept) == 0, base)
+        .otherwise(F.concat(base, F.lit("?"), F.array_join(kept, "&")))
+    )
+
+
+def _any_prefix(p: Column, prefixes: tuple[str, ...]) -> Column:
+    cond = F.lit(False)
+    for pre in prefixes:
+        cond = cond | F.substring_index(p, "=", 1).startswith(pre)
+    return cond
+
+
 def url_trap_metrics(
     df,
     url_col: str = "url",

@@ -269,6 +269,62 @@ def ivf_kmeans_topk(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    threshold_bp: int = 9990,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
+    near-duplicate pruning that scales by CLUSTERING FIRST — k-means the
+    corpus (kmeans_centroids, the learned IVF quantizer), then compare
+    pairs only WITHIN a cluster; a vector is a semantic duplicate when
+    some lower-id cluster member's cosine ≥ threshold_bp/10⁴. Keeping the
+    lowest id per duplicate group is the deterministic stand-in for the
+    paper's keep-one-per-group choice.
+
+    Scale shape: the quadratic pair scan is per-cluster (C clusters cut
+    the global O(N²) to Σ|cluster|²); the self-join is keyed on list_id —
+    one corpus shuffle each side, co-partitioned by Spark's join — and the
+    duplicate verdict joins back on the vector id. Cluster-size skew is
+    the knob: raise n_centroids until max |cluster| fits the executor
+    (the same histogram-bound logic as dedup.candidate_pair_bound applies
+    if a guard is wanted).
+
+    The threshold compares the ROUNDED cosine (round(cos, 4), the repo's
+    established cross-engine-stable form) so the gate never sits on a
+    last-ulp disagreement between engines.
+
+    Adds: list_id, dup_of (lowest-id near-duplicate neighbor, −1 when
+    kept), is_semdup."""
+    cent = kmeans_centroids(emb, n_centroids, iters, dim, id_col, vec_col)
+    assigned = ivf_assign(emb, cent, id_col, vec_col, nprobe=1)
+    a = assigned.select(
+        "list_id", F.col(id_col).alias("_i"), as_double(F.col(vec_col)).alias("_av")
+    )
+    b = assigned.select(
+        "list_id", F.col(id_col).alias("_j"), as_double(F.col(vec_col)).alias("_bv")
+    )
+    pairs = (
+        a.join(b, "list_id")
+        .where(F.col("_i") < F.col("_j"))
+        .select(
+            "_j", "_i", F.round(cosine(F.col("_av"), F.col("_bv")), 4).alias("_cos")
+        )
+        .where(F.col("_cos") >= F.lit(threshold_bp) / 10_000.0)
+    )
+    dup = pairs.groupBy("_j").agg(F.min("_i").alias("dup_of"))
+    out = assigned.join(
+        dup, F.col(id_col) == F.col("_j"), "left"
+    ).drop("_j")
+    return out.withColumn(
+        "is_semdup", F.col("dup_of").isNotNull()
+    ).withColumn("dup_of", F.coalesce(F.col("dup_of"), F.lit(-1)).cast("long"))
+
+
 def quantize_unit_col(vec_col: Column) -> Column:
     """Symmetric int8 scalar quantization of the L2-NORMALIZED vector:
     q[d] = round(u[d] · 127) with u = v/‖v‖ (zero vector → all zeros).

@@ -64,6 +64,7 @@ class CrawlDriver:
         seen_strategy: str = "exact",
         checkpoint_mode: str = "full",
         compact_every: int = 8,
+        trap_guard: dict | None = None,
     ):
         """discover: results DataFrame → new frontier rows
         (seq, url, host, priority, context) — e.g. extract_urls over span
@@ -121,7 +122,15 @@ class CrawlDriver:
         seed range) cannot delete an innocent row, because its url
         differs; only true (seq, url) duplicates among LIVE rows would
         conflate, and the seed/discover/redeliver construction never
-        produces those."""
+        produces those.
+
+        trap_guard: None disables spider-trap gating; a dict (possibly
+        empty = defaults) of url_trap_metrics thresholds enables it. The
+        gate runs at frontier ENTRY — on the seed once and on each
+        generation's discovered URLs — not on every generation's eligible
+        set: a URL is judged once, the cheapest place to stop calendar
+        loops / param explosions from ever occupying frontier rows.
+        Trapped-row counts ride the generation metrics (trap_dropped)."""
         self.spark = spark
         self.cfg = cfg
         self.store = CheckpointStore(checkpoint_dir)
@@ -137,6 +146,7 @@ class CrawlDriver:
             raise ValueError(f"unknown checkpoint_mode {checkpoint_mode!r}")
         self.checkpoint_mode = checkpoint_mode
         self.compact_every = max(compact_every, 1)
+        self.trap_guard = trap_guard
         self._bloom = None  # lazily built/grown prefilter (bloom OR cuckoo)
         # driver-side memo: table -> latest generation holding a FULL
         # snapshot of it. Updated at every full commit and on resume, so
@@ -234,6 +244,26 @@ class CrawlDriver:
             self._bloom = build_cuckoo(seen, n_buckets=self.cfg.seen_cuckoo_buckets)
         return snap.generation + 1, frontier, seen
 
+    _TRAP_COLS = (
+        "depth", "n_params", "max_seg_repeat", "url_len", "trap_reason",
+        "is_trap",
+    )
+
+    def _gate_traps(self, tag: str, df: DataFrame):
+        """Annotate + filter spider traps at frontier entry.
+
+        The trapped count is a direct count over the trapped slice, NOT an
+        Observation: no action executes the discovered-URLs plan before
+        the metrics dict is assembled (the commit that would fire it takes
+        the metrics as input), so Observation.get would deadlock waiting
+        for it. The slice derives from the persisted fetch output — the
+        count is one short cached-scan job, bounded by discover fan-out."""
+        from ganda_spark.functions.urls import url_trap_metrics
+
+        ann = url_trap_metrics(df, **self.trap_guard)
+        kept = ann.where(~F.col("is_trap")).drop(*self._TRAP_COLS)
+        return kept, None, ann.where(F.col("is_trap"))
+
     # -- one generation -------------------------------------------------------
 
     def run_generation(
@@ -316,10 +346,15 @@ class CrawlDriver:
         )
 
         gen_adds = redeliver
+        trapped_fallback = None
         if self.discover is not None:
             discovered = _with_retry_cols(self.discover(results)).select(
                 *redeliver.columns
             )
+            if self.trap_guard is not None:
+                discovered, _, trapped_fallback = self._gate_traps(
+                    f"g{gen}-{uid}", discovered
+                )
             gen_adds = gen_adds.unionByName(discovered)
 
         next_frontier = deferred.select(*redeliver.columns).unionByName(
@@ -364,6 +399,10 @@ class CrawlDriver:
             "results": n_results,
             "errors": errors.count(),
         }
+        if self.trap_guard is not None:
+            metrics["trap_dropped"] = (
+                trapped_fallback.count() if trapped_fallback is not None else 0
+            )
         full = self.checkpoint_mode == "full" or gen % self.compact_every == 0
         if not full and metrics["released"] == 0 and gen_adds.isEmpty():
             # delta drain guard (r3 ADVICE): a generation that released
@@ -436,6 +475,8 @@ class CrawlDriver:
     # -- full loop -------------------------------------------------------------
 
     def run(self, seed: DataFrame, max_generations: int = 10) -> list[dict]:
+        if self.trap_guard is not None:
+            seed, _, _ = self._gate_traps("seed", seed)
         gen, frontier, seen = self.load_state(seed)
         all_metrics = []
         for g in range(gen, gen + max_generations):

@@ -474,3 +474,64 @@ def test_hybrid_seen_with_delta_checkpoint(spark, sf_dir, ckpt, tmp_path):
     uc, ur = urls(store_c), urls(store_r)
     assert uc.count() == uc.distinct().count()
     assert uc.exceptAll(ur).count() == 0 and ur.exceptAll(uc).count() == 0
+
+
+def test_trap_guard_gates_discovered_and_seed(spark, sf_dir, ckpt, tmp_path):
+    """trap_guard filters spider traps at frontier ENTRY: a discover that
+    emits one calendar-loop URL per fetched page never gets those URLs
+    into the frontier, results, or seen set; trap_dropped rides the
+    generation metrics; with the guard off the traps ARE crawled."""
+    cfg = EngineConfig(retries=0, request_workers=4, per_host_budget=1000)
+
+    def discover(results):
+        # each fetched page "links to" a calendar trap AND one clean page
+        trap = results.select(
+            (F.col("seq") + 1_000_000).alias("seq"),
+            F.concat(F.col("url"), F.lit("/cal/2024/cal/2024/cal/2024")).alias("url"),
+            "host", "priority", "context",
+        )
+        clean = results.select(
+            (F.col("seq") + 2_000_000).alias("seq"),
+            F.concat(F.col("url"), F.lit("/next")).alias("url"),
+            "host", "priority", "context",
+        ).where(~F.col("url").rlike("/next/next|/cal/"))
+        return trap.unionByName(clean)
+
+    guarded = CrawlDriver(
+        spark, cfg, ckpt, discover=discover, trap_guard={"max_repeat": 3}
+    )
+    metrics = guarded.run(_seed(spark, sf_dir, 60), max_generations=6)
+    assert any(m.get("trap_dropped", 0) > 0 for m in metrics)
+    store = CheckpointStore(ckpt)
+    last = store.latest()
+    seen = store.read(spark, last.generation, "seen")
+    assert seen.where(F.col("url").contains("/cal/")).count() == 0
+    # clean discovered pages still crawled
+    assert seen.where(F.col("url").endswith("/next")).count() > 0
+
+    unguarded = CrawlDriver(
+        spark, cfg, str(tmp_path / "noguard"), discover=discover
+    )
+    m2 = unguarded.run(_seed(spark, sf_dir, 60), max_generations=6)
+    assert all("trap_dropped" not in m for m in m2)
+    store2 = CheckpointStore(str(tmp_path / "noguard"))
+    seen2 = store2.read(spark, store2.latest().generation, "seen")
+    assert seen2.where(F.col("url").contains("/cal/")).count() > 0
+
+
+def test_trap_guard_filters_seed(spark, ckpt):
+    """A trap URL planted directly in the seed list never enters gen 0."""
+    cfg = EngineConfig(retries=0, request_workers=4, per_host_budget=1000)
+    seed = spark.createDataFrame(
+        [
+            (1, "http://h.test/ok", "h.test", 0, ["c"]),
+            (2, "http://h.test/cal/2024/cal/2024/cal/2024", "h.test", 0, ["c"]),
+        ],
+        "seq long, url string, host string, priority int, context array<string>",
+    )
+    driver = CrawlDriver(spark, cfg, ckpt, trap_guard={})
+    metrics = driver.run(seed, max_generations=3)
+    assert sum(m["results"] for m in metrics) == 1
+    store = CheckpointStore(ckpt)
+    seen = store.read(spark, store.latest().generation, "seen")
+    assert [r.url for r in seen.collect()] == ["http://h.test/ok"]

@@ -122,3 +122,55 @@ def test_ivf_kmeans_recall_beats_fixed_centroids(spark):
     assert r_learned > r_fixed
     assert r_learned >= 0.8
     emb.unpersist()
+
+
+# -- semantic_dedup (SemDeDup: cluster-then-pairwise) -----------------------
+
+
+def _with_nudged(spark, sf_dir, every=10):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    nudged = emb.where(F.col("vec_id") % every == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i == 0, x.cast("double") + 0.001).otherwise(
+                x.cast("double")
+            ),
+        ).alias("embedding"),
+    )
+    return emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    ).unionByName(nudged)
+
+
+def test_semantic_dedup_flags_planted_copies(spark, sf_dir):
+    from ganda_spark.operators.similarity import semantic_dedup
+
+    out = semantic_dedup(
+        _with_nudged(spark, sf_dir), n_centroids=8, iters=2, threshold_bp=9990
+    )
+    rows = {r.vec_id: r for r in out.collect()}
+    planted = [v for v in rows if v >= 100000]
+    assert planted
+    for v in planted:
+        # each nudged copy is a duplicate OF ITS ORIGINAL (lowest id wins)
+        assert rows[v].is_semdup and rows[v].dup_of == v - 100000
+        # the original survives
+        assert not rows[v - 100000].is_semdup
+        assert rows[v - 100000].dup_of == -1
+        # the pair scan stayed within one cluster
+        assert rows[v].list_id == rows[v - 100000].list_id
+
+
+def test_semantic_dedup_threshold_and_determinism(spark, sf_dir):
+    from ganda_spark.operators.similarity import semantic_dedup
+
+    corpus = _with_nudged(spark, sf_dir)
+    # an impossible threshold keeps everything
+    none = semantic_dedup(corpus, n_centroids=8, iters=1, threshold_bp=10_001)
+    assert none.where("is_semdup").count() == 0
+    # reruns are bit-identical (kmeans + round(cos,4) gate deterministic)
+    a = semantic_dedup(corpus, n_centroids=8, iters=2, threshold_bp=9990)
+    b = semantic_dedup(corpus, n_centroids=8, iters=2, threshold_bp=9990)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

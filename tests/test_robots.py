@@ -79,3 +79,57 @@ def test_crawl_delay_budget_caps_pop(spark, sf_dir):
     assert per_host["host-1.test"] == min(50, totals["host-1.test"])  # default budget
     assert per_host["host-2.test"] == min(50, totals["host-2.test"])  # no robots row
     assert released.count() + deferred.count() == frontier.count()
+
+
+# -- sitemap <loc> extraction ------------------------------------------------
+
+
+def test_sitemap_extract_locs_in_order(spark):
+    from ganda_spark.operators.robots import extract_sitemap_urls
+
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc>http://h.test/a</loc><lastmod>2026-01-01</lastmod></url>"
+        "<url><loc>http://h.test/b?x=1&amp;y=2</loc></url>"
+        "<url><loc>http://h.test/c</loc></url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame(
+        [("h.test", xml)], "host string, sitemap_xml string"
+    )
+    rows = extract_sitemap_urls(df).orderBy("loc_ordinal").collect()
+    assert [r.loc for r in rows] == [
+        "http://h.test/a",
+        "http://h.test/b?x=1&y=2",  # &amp; entity-decoded
+        "http://h.test/c",
+    ]
+    assert [r.loc_ordinal for r in rows] == [0, 1, 2]
+    assert all(r.host == "h.test" for r in rows)
+
+
+def test_sitemap_extract_dirty_and_empty(spark):
+    from ganda_spark.operators.robots import extract_sitemap_urls
+
+    df = spark.createDataFrame(
+        [
+            ("a.test", "no loc tags here at all"),
+            ("b.test", "<loc>http://b.test/only</loc> trailing garbage <loc"),
+        ],
+        "host string, sitemap_xml string",
+    )
+    rows = extract_sitemap_urls(df).collect()
+    # empty sitemap yields zero rows, not a null row
+    assert {r.host for r in rows} == {"b.test"}
+    assert rows[0].loc == "http://b.test/only"
+
+
+def test_sitemap_extract_plan_is_projection(spark):
+    from ganda_spark.operators.robots import extract_sitemap_urls
+
+    df = spark.createDataFrame(
+        [("h", "<loc>u</loc>")], "host string, sitemap_xml string"
+    )
+    out = extract_sitemap_urls(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -69,3 +69,56 @@ def test_plan_is_jvm_only(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # shuffle-free projection: no Exchange in the plan
     assert "Exchange" not in plan
+
+
+# -- chunk_tokens (overlapping token windows) -------------------------------
+
+import pytest
+
+from ganda_spark.functions.text import chunk_tokens
+
+
+def test_chunk_tokens_windows_and_overlap(spark):
+    words = " ".join(f"w{i}" for i in range(10))
+    rows = chunk_tokens(
+        _docs(spark, [words]), window=4, stride=3
+    ).orderBy("chunk_id").collect()
+    # 10 words, window 4, stride 3 -> 1 + ceil(6/3) = 3 chunks
+    assert [r.chunk_id for r in rows] == [0, 1, 2]
+    assert rows[0].chunk_text == "w0 w1 w2 w3"
+    assert rows[1].chunk_text == "w3 w4 w5 w6"   # 1-token overlap
+    assert rows[2].chunk_text == "w6 w7 w8 w9"
+    assert all(r.n_chunk_tokens == 4 for r in rows)
+
+
+def test_chunk_tokens_short_doc_and_ragged_tail(spark):
+    rows = {
+        (r.doc_id, r.chunk_id): r
+        for r in chunk_tokens(
+            _docs(spark, ["a b", "a b c d e f g"]), window=4, stride=4
+        ).collect()
+    }
+    assert rows[(0, 0)].chunk_text == "a b"          # <= window: one chunk
+    assert rows[(0, 0)].n_chunk_tokens == 2
+    assert rows[(1, 1)].chunk_text == "e f g"        # short last chunk
+    assert rows[(1, 1)].n_chunk_tokens == 3
+    assert len([k for k in rows if k[0] == 1]) == 2
+
+
+def test_chunk_tokens_coverage_no_shuffle(spark):
+    """Every word index is covered by at least one chunk; the plan has no
+    Exchange and no Python nodes."""
+    words = " ".join(f"t{i}" for i in range(50))
+    out = chunk_tokens(_docs(spark, [words]), window=8, stride=5)
+    seen = set()
+    for r in out.collect():
+        seen.update(r.chunk_text.split(" "))
+    assert seen == {f"t{i}" for i in range(50)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_chunk_tokens_bad_stride(spark):
+    with pytest.raises(ValueError, match="stride"):
+        chunk_tokens(_docs(spark, ["a"]), window=4, stride=5)

@@ -65,3 +65,55 @@ def test_jvm_only_shuffle_free_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+# -- canonicalize_params (tracking-param strip + canonical order) -----------
+
+from pyspark.sql import functions as F
+
+from ganda_spark.functions.urls import canonicalize_params
+
+
+def _canon(spark, urls):
+    df = _urls(spark, urls).select(
+        "seq", canonicalize_params(F.col("url")).alias("c")
+    )
+    return [r.c for r in df.orderBy("seq").collect()]
+
+
+def test_param_canonicalization(spark):
+    assert _canon(
+        spark,
+        [
+            "http://h.test/p?utm_source=x&b=2&a=1&fbclid=zzz",
+            "http://h.test/p?z=9&a=1",
+            "http://h.test/p?utm_medium=email",
+            "http://h.test/p?",
+            "http://h.test/p",
+        ],
+    ) == [
+        "http://h.test/p?a=1&b=2",   # stripped + sorted
+        "http://h.test/p?a=1&z=9",   # order canonicalized
+        "http://h.test/p",           # fully stripped -> no '?'
+        "http://h.test/p",           # bare '?' dropped
+        "http://h.test/p",           # untouched
+    ]
+
+
+def test_param_canon_collapses_aliases(spark):
+    """The point of the operator: tracking aliases of one page map to ONE
+    seen-set identity."""
+    aliases = [
+        "http://h.test/a?x=1&utm_source=tw",
+        "http://h.test/a?utm_campaign=c&x=1",
+        "http://h.test/a?x=1&fbclid=abc&utm_medium=m",
+    ]
+    assert len(set(_canon(spark, aliases))) == 1
+
+
+def test_param_canon_preserves_real_params(spark):
+    """Non-tracking params survive byte-for-byte, including values with
+    'utm_' NOT in key position and repeated keys."""
+    assert _canon(
+        spark, ["http://h.test/s?q=utm_test&page=2&q=second"]
+    ) == ["http://h.test/s?page=2&q=second&q=utm_test"]
