@@ -2179,6 +2179,43 @@ FROM (
 """
 
 
+def q_crawl_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive revisit policy (operators/recrawl.recrawl_schedule):
+    exponential-backoff freshness intervals over a synthesized fetch
+    history (streak/last-gen derived from seq) at current_gen=20."""
+    from ganda_spark.operators.recrawl import recrawl_schedule
+
+    hist = seed_frontier(spark, sf_dir).select(
+        "seq",
+        (F.col("seq") % 9).cast("long").alias("unchanged_streak"),
+        (F.col("seq") % 17).cast("long").alias("last_fetch_gen"),
+    )
+    out = recrawl_schedule(hist, current_gen=20, max_interval=64)
+    return out.select(
+        "seq", "revisit_interval", "next_due", "due_now", "overdue"
+    )
+
+
+_SQL_RECRAWL = """
+WITH {frontier},
+h AS (
+  SELECT seq, seq % 9 AS streak, seq % 17 AS last_gen FROM frontier
+),
+s AS (
+  SELECT seq,
+    CAST(least(CAST(1 AS BIGINT) << CAST(least(streak, 30) AS INT), 64)
+         AS BIGINT) AS revisit_interval,
+    last_gen
+  FROM h
+)
+SELECT seq, revisit_interval,
+  CAST(last_gen + revisit_interval AS BIGINT) AS next_due,
+  (last_gen + revisit_interval) <= 20 AS due_now,
+  CAST(greatest(0, 20 - (last_gen + revisit_interval)) AS BIGINT) AS overdue
+FROM s
+"""
+
+
 _PARAM_MESSY = (
     "CASE seq % 4 "
     "WHEN 0 THEN url || '?utm_source=x&b=2&a=1&fbclid=zzz' "
@@ -3249,5 +3286,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "s11_sitemap_extract": (
         q_s11_sitemap_extract,
         _SQL_S11_SITEMAP.format(frontier=_DUCK_FRONTIER),
+    ),
+    "crawl_recrawl_schedule": (
+        q_crawl_recrawl_schedule,
+        _SQL_RECRAWL.format(frontier=_DUCK_FRONTIER),
     ),
 }

@@ -171,3 +171,40 @@ def test_robots_gate(spark, sf_dir):
     # explain: the rules join must be a broadcast
     plan = allowed._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
+
+
+# -- recrawl_schedule (adaptive revisit policy) -----------------------------
+
+
+def test_recrawl_schedule_backoff_and_clamp(spark):
+    import pytest
+    from ganda_spark.operators.recrawl import recrawl_schedule
+
+    hist = spark.createDataFrame(
+        [
+            (1, 0, 10),   # fresh page: base interval
+            (2, 3, 10),   # unchanged 3x: 8-gen interval
+            (3, 40, 10),  # huge streak: clamped to max_interval
+            (4, 2, 18),   # not yet due at gen 20
+        ],
+        "seq long, unchanged_streak long, last_fetch_gen long",
+    )
+    r = {
+        row.seq: row
+        for row in recrawl_schedule(hist, current_gen=20, max_interval=64).collect()
+    }
+    assert (r[1].revisit_interval, r[1].next_due, r[1].due_now, r[1].overdue) == (
+        1, 11, True, 9,
+    )
+    assert (r[2].revisit_interval, r[2].next_due) == (8, 18)
+    assert r[3].revisit_interval == 64 and not r[3].due_now and r[3].overdue == 0
+    assert (r[4].revisit_interval, r[4].next_due, r[4].due_now) == (4, 22, False)
+
+    with pytest.raises(ValueError, match="base_interval"):
+        recrawl_schedule(hist, current_gen=20, base_interval=0)
+
+    # shuffle-free projection
+    out = recrawl_schedule(hist, current_gen=20)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
