@@ -580,6 +580,47 @@ FROM fetched
 # ---------------------------------------------------------------------------
 
 
+def q_crawl_host_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl health rollup (the ops dashboard over K4 outcomes):
+    URL counts, OK rate in bp, retry counts, mean latency — one host-keyed
+    shuffle with map-side partial aggregation; integer DIV throughout."""
+    fetched = mock_fetch_udf(
+        seed_frontier(spark, sf_dir), EngineConfig(retries=1, request_workers=16)
+    )
+    # group on the CARRIED host column (P4 pass-through), not a re-derived
+    # key: one host-keyed Exchange with map-side partial agg (a regexp-
+    # derived key costs a second Exchange — measured in the pipeline test)
+    agg = fetched.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.sum((F.col("status") == 200).cast("long")).alias("n_ok"),
+        F.sum((F.col("attempts") > 1).cast("long")).alias("n_retried"),
+        F.sum("latency_ms").cast("long").alias("sum_latency_ms"),
+    )
+    return agg.select(
+        "host",
+        "n_urls",
+        "n_ok",
+        F.expr("n_ok * 10000 DIV n_urls").cast("long").alias("ok_bp"),
+        "n_retried",
+        F.expr("sum_latency_ms DIV n_urls").cast("long").alias("mean_latency_ms"),
+    )
+
+
+_SQL_HOST_HEALTH = f"""
+WITH {_DUCK_FRONTIER}, {{fetched}}
+SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+       CAST(sum(CASE WHEN status = 200 THEN 1 ELSE 0 END) * 10000
+            // count(*) AS BIGINT) AS ok_bp,
+       CAST(sum(CASE WHEN attempts > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_retried,
+       CAST(sum(latency_ms) // count(*) AS BIGINT) AS mean_latency_ms
+FROM fetched
+GROUP BY 1
+"""
+
+
 def q_k1_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier = seed_frontier(spark, sf_dir)
     cfg = EngineConfig(retries=1, request_workers=16, per_host_budget=20)
@@ -3290,5 +3331,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "crawl_recrawl_schedule": (
         q_crawl_recrawl_schedule,
         _SQL_RECRAWL.format(frontier=_DUCK_FRONTIER),
+    ),
+    "crawl_host_health": (
+        q_crawl_host_health,
+        _SQL_HOST_HEALTH.format(fetched=_fetched_cte(retries=1)),
     ),
 }

@@ -99,6 +99,13 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict, dict, dict]:
         ("mm_decode_real_sec", "mm_decode_real"),
         ("sim_ivf_kmeans_sec", "sim_ivf_kmeans_topk"),
         ("curate_keep_best_sec", "curate_keep_best"),
+        # r4 late additions (same frozen-headline discipline)
+        ("dedup_semantic_sec", "dedup_semantic"),
+        ("text_pii_sec", "text_pii"),
+        ("text_decontam_sec", "text_decontam"),
+        ("text_chunks_sec", "text_chunks"),
+        ("crawl_trap_filter_sec", "crawl_trap_filter"),
+        ("mix_corpus_sec", "mix_corpus"),
     ):
         t0 = time.time()
         _materialize(entry.queries()[qname](spark, sf_dir))

@@ -67,3 +67,23 @@ def test_plain_output_parity_with_oracle(spark, sf_dir):
     out = {r["seq"]: r["line"] for r in envelope_output(gen.results, cfg).collect()}
     for seq, exp in expected.items():
         assert out.get(seq) == exp
+
+
+def test_crawl_host_health_rollup(spark, sf_dir):
+    """Per-host health rollup: conserves URL counts, rates in [0,10000] bp,
+    ONE host-keyed Exchange with map-side partial aggregation."""
+    import __spark_entry__ as entry
+
+    out = entry.queries()["crawl_host_health"](spark, sf_dir)
+    rows = out.collect()
+    assert sum(r.n_urls for r in rows) == 1500
+    for r in rows:
+        assert 0 <= r.ok_bp <= 10000
+        assert r.n_ok <= r.n_urls and r.n_retried <= r.n_urls
+        assert r.mean_latency_ms >= 0
+    # AQE's toString prints Final AND Initial plan sections — scope the
+    # exchange count to the final one
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    # partial + final HashAggregate around a single host-keyed shuffle
+    assert final.count("Exchange hashpartitioning") == 1
