@@ -301,6 +301,16 @@ def semantic_dedup(
     Adds: list_id, dup_of (lowest-id near-duplicate neighbor, −1 when
     kept), is_semdup."""
     cent = kmeans_centroids(emb, n_centroids, iters, dim, id_col, vec_col)
+    # LOCALIZE the centroid table (collect + recreate): `assigned` feeds
+    # three plan branches (both self-join sides + the verdict join), and
+    # without lineage truncation each branch re-runs the full k-means
+    # iteration chain — measured 3× the ivf cost at sf0.1. The centroid
+    # table is driver-sized BY DEFINITION (C = n_centroids rows), so this
+    # is a bounded collect, not a scale hazard.
+    spark = emb.sparkSession
+    cent = spark.createDataFrame(
+        cent.collect(), f"{id_col} long, {vec_col} array<double>"
+    )
     assigned = ivf_assign(emb, cent, id_col, vec_col, nprobe=1)
     a = assigned.select(
         "list_id", F.col(id_col).alias("_i"), as_double(F.col(vec_col)).alias("_av")
