@@ -2059,6 +2059,25 @@ _MIX_WEIGHTS = {"src0": 4000, "src1": 3000, "src2": 2000, "src3": 1000}
 _MIX_BUDGET = 2000
 
 
+def q_text_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The too-big-to-broadcast decontamination path
+    (operators/decontam.decontaminate_bloom): bench n-grams folded into a
+    treeAggregate Bloom bitmap, doc n-grams prefiltered executor-side,
+    exact join only over the surviving sliver. Same oracle as
+    text_decontam — equal by construction."""
+    from ganda_spark.operators.decontam import decontaminate_bloom
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    bench = docs.filter("doc_id % 37 = 0")
+    corpus = docs.filter("doc_id % 37 != 0")
+    out = decontaminate_bloom(corpus, bench, n=5)
+    return out.select(
+        "doc_id", "n_doc_ngrams", "n_hit_ngrams", "hit_bp", "contaminated"
+    )
+
+
 def q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted corpus mixing (operators/sampling.mix_to_budget): cut a
     ~2000-token training mix at 40/30/20/10% across four sources, hash
@@ -3313,6 +3332,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "crawl_tiered_pop": (q_crawl_tiered_pop, _sql_tiered_pop()),
     "text_pii": (q_text_pii, _sql_text_pii()),
     "text_decontam": (q_text_decontam, _SQL_DECONTAM),
+    "text_decontam_bloom": (q_text_decontam_bloom, _SQL_DECONTAM),
     "mix_corpus": (q_mix_corpus, _sql_mix_corpus()),
     "crawl_trap_filter": (
         q_crawl_trap_filter,

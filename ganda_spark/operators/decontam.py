@@ -22,6 +22,8 @@ at eval-set scale.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -64,6 +66,91 @@ def decontaminate(
     )
     hits = (
         doc_grams.join(F.broadcast(bench_grams), "ngram", "inner")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit_ngrams"))
+    )
+    out = (
+        docs.withColumn("n_doc_ngrams", F.size(grams).cast("long"))
+        .join(hits, id_col, "left")
+        .withColumn(
+            "n_hit_ngrams", F.coalesce(F.col("n_hit_ngrams"), F.lit(0)).cast("long")
+        )
+    )
+    return out.withColumn(
+        "hit_bp",
+        F.when(
+            F.col("n_doc_ngrams") > 0,
+            F.expr("n_hit_ngrams * 10000 DIV n_doc_ngrams"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    ).withColumn("contaminated", F.col("n_hit_ngrams") > 0)
+
+
+def decontaminate_bloom(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 1 << 22,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """`decontaminate` for benchmark collections too large to broadcast —
+    the seen-set hybrid trick (operators/seen.filter_unseen_hybrid)
+    applied to n-grams:
+
+    1. fold the bench n-gram set into a Bloom bitmap via treeAggregate
+       (build_bloom_tree: √P driver ingress, bitmap MBs regardless of
+       bench size);
+    2. tag every doc n-gram executor-side with a vectorized
+       might_contain — bloom-NEGATIVE grams (the overwhelming bulk of a
+       clean corpus) never reach any join;
+    3. the surviving sliver (true hits + false-positive rate ε) joins the
+       exact bench n-gram table, which removes the false positives.
+
+    EXACTLY equal to `decontaminate` by construction (no false negatives;
+    the exact join sees every gram the bloom could be wrong about) — the
+    equality is test-pinned. The bench-side join in step 3 is left to AQE:
+    broadcast when bench fits, doc-keyed shuffle of only the tagged sliver
+    when it doesn't — that sliver being small is the whole point."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ganda_spark.operators.seen import build_bloom_tree
+
+    grams = ngram_col(text_col, n)
+    bench_grams = (
+        bench.select(F.explode(ngram_col(text_col, n)).alias("ngram")).distinct()
+    )
+    bloom = build_bloom_tree(
+        bench_grams.withColumnRenamed("ngram", "url"), n_bits=n_bits,
+        n_hashes=n_hashes,
+    )
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast((bloom.n_bits, bloom.n_hashes, bloom.bits))
+
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(grams).alias("ngram")
+    ).withColumn("_h", F.xxhash64("ngram"))
+    schema = T.StructType(list(doc_grams.schema.fields))
+
+    def tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ganda_spark.operators.seen import BloomFilter
+
+        nb, nh, bits = bc.value
+        local = BloomFilter(nb, nh, bits)
+        for pdf in batches:
+            if len(pdf):
+                hit = local.might_contain(pdf["_h"].to_numpy(dtype=np.int64))
+                yield pdf[hit]
+            else:
+                yield pdf
+
+    maybe = doc_grams.mapInPandas(tag, schema).drop("_h")
+    hits = (
+        maybe.join(bench_grams, "ngram", "inner")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hit_ngrams"))
     )

@@ -70,3 +70,51 @@ def test_bench_side_broadcast_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # corpus never shuffles to meet bench
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bloom_variant_equals_exact(spark, sf_dir):
+    """decontaminate_bloom must equal decontaminate row-for-row — even
+    with a DELIBERATELY tiny bitmap (high false-positive rate) the exact
+    verify join removes every FP, and no-false-negatives means no hit is
+    ever lost."""
+    from ganda_spark.operators.decontam import decontaminate_bloom
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn("doc_id", F.col("doc_id").cast("long"))
+    )
+    bench = docs.filter("doc_id % 7 = 0")
+    corpus = docs.filter("doc_id % 7 != 0")
+    cols = ["doc_id", "n_doc_ngrams", "n_hit_ngrams", "hit_bp", "contaminated"]
+    exact = decontaminate(corpus, bench, n=3).select(*cols)
+    # 2^10 bits for thousands of grams -> FP rate near 1: worst case
+    tiny = decontaminate_bloom(
+        corpus, bench, n=3, n_bits=1 << 10, n_hashes=2
+    ).select(*cols)
+    assert sorted(map(tuple, exact.collect())) == sorted(
+        map(tuple, tiny.collect())
+    )
+    # and with a realistic bitmap
+    real = decontaminate_bloom(corpus, bench, n=3, n_bits=1 << 20).select(*cols)
+    assert sorted(map(tuple, exact.collect())) == sorted(
+        map(tuple, real.collect())
+    )
+
+
+def test_bloom_variant_planted(spark):
+    from ganda_spark.operators.decontam import decontaminate_bloom
+
+    bench = _df(spark, [(100, "the quick brown fox jumps over the lazy dog")])
+    corpus = _df(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words fill this entire document here"),
+        ],
+    )
+    r = {
+        row.doc_id: row
+        for row in decontaminate_bloom(corpus, bench, n=5).collect()
+    }
+    assert r[1].contaminated and r[1].hit_bp == 10000
+    assert not r[2].contaminated
