@@ -2381,6 +2381,95 @@ FROM c
 """
 
 
+def q_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus assembly line, composed from the
+    repo's own operators: quality + Gopher-repetition gates → exact dedup
+    (min-id keeper) → weighted source mixing to the token budget →
+    token-budget sequence packing. Shuffle ledger: one content-hash
+    groupBy (dedup), one (source)-keyed window (mix), one shard window
+    (pack) — everything else is projections."""
+    from ganda_spark.functions.text import quality_metrics, repetition_metrics
+    from ganda_spark.operators.dedup import exact_dup_groups
+    from ganda_spark.operators.sampling import mix_to_budget, pack_next_fit
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    scored = repetition_metrics(quality_metrics(docs))
+    kept = scored.where((F.col("n_words") >= 5) & F.col("keep_repetition"))
+    keepers = exact_dup_groups(kept).select(F.col("keep_id").alias("doc_id"))
+    deduped = kept.join(keepers, "doc_id", "left_semi")
+    mixed = mix_to_budget(deduped, _MIX_WEIGHTS, _MIX_BUDGET, "n_words")
+    packed = pack_next_fit(
+        mixed, "n_words", budget=256, shard_cols=["source"], key_col="doc_id"
+    )
+    return packed.select(
+        "doc_id",
+        "source",
+        F.col("n_words").alias("n_tokens"),
+        "mix_prev_cum",
+        "bin_id",
+    )
+
+
+def _sql_corpus_build() -> str:
+    quota = " ".join(
+        f"WHEN '{s}' THEN {_MIX_BUDGET * bp // 10_000}"
+        for s, bp in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source, text,
+         string_split(text, ' ') AS w
+  FROM documents
+),
+g AS (
+  SELECT *,
+    [w[i] || ' ' || w[i+1] for i in generate_series(1, len(w) - 1)] AS bg,
+    [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+     for i in generate_series(1, len(w) - 2)] AS tg
+  FROM d
+),
+topb AS (
+  SELECT doc_id, max(c) AS mx FROM (
+    SELECT doc_id, b, count(*) AS c
+    FROM (SELECT doc_id, unnest(bg) AS b FROM g) GROUP BY doc_id, b
+  ) GROUP BY doc_id
+),
+kept AS (
+  SELECT g.doc_id, source, text, len(w) AS n_words
+  FROM g LEFT JOIN topb USING (doc_id)
+  WHERE len(w) >= 5
+    AND (len(w) < 8 OR
+         (coalesce(topb.mx, 0) * 10000 // len(bg) <= 2000
+          AND (len(tg) - len(list_distinct(tg))) * 10000 // len(tg) <= 3000))
+),
+ded AS (
+  SELECT kept.* FROM kept
+  JOIN (SELECT min(doc_id) AS keep_id FROM kept GROUP BY md5(text)) k
+    ON kept.doc_id = k.keep_id
+),
+mx AS (
+  SELECT *,
+    CASE source {quota} ELSE 0 END AS mix_quota,
+    coalesce(sum(n_words) OVER (
+      PARTITION BY source
+      ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS mix_prev_cum
+  FROM ded
+),
+mixed AS (SELECT * FROM mx WHERE mix_prev_cum < mix_quota)
+SELECT doc_id, source, CAST(n_words AS BIGINT) AS n_tokens,
+  CAST(mix_prev_cum AS BIGINT) AS mix_prev_cum,
+  CAST(coalesce(sum(n_words) OVER (
+    PARTITION BY source
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256 AS BIGINT)
+    AS bin_id
+FROM mixed
+"""
+
+
 def q_text_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extraction stub: hash-projection bag-of-words embedding in
     exact integer basis points (the cross-engine-stable oracle form)."""
@@ -3333,6 +3422,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "text_pii": (q_text_pii, _sql_text_pii()),
     "text_decontam": (q_text_decontam, _SQL_DECONTAM),
     "text_decontam_bloom": (q_text_decontam_bloom, _SQL_DECONTAM),
+    "corpus_build_pipeline": (q_corpus_build_pipeline, _sql_corpus_build()),
     "mix_corpus": (q_mix_corpus, _sql_mix_corpus()),
     "crawl_trap_filter": (
         q_crawl_trap_filter,

@@ -87,3 +87,28 @@ def test_crawl_host_health_rollup(spark, sf_dir):
     final = plan.split("== Initial Plan ==")[0]
     # partial + final HashAggregate around a single host-keyed shuffle
     assert final.count("Exchange hashpartitioning") == 1
+
+
+def test_corpus_build_pipeline_stages_bite(spark, tmp_path):
+    """Each stage of the corpus assembly line removes what it should:
+    short docs (quality), repeated-phrase spam (Gopher gate), exact dups
+    (min-id keeper), unweighted sources (mix)."""
+    import __spark_entry__ as entry
+    import pyspark.sql.functions as F
+
+    rows = [
+        (0, "src0", "too short"),                                  # quality gate
+        (1, "src0", ("spam phrase " * 10).strip()),                # repetition gate
+        (2, "src0", "a perfectly ordinary document with enough words"),
+        (3, "src0", "a perfectly ordinary document with enough words"),  # dup of 2
+        (4, "src9", "weighted sources only please and thank you"),  # src9 unweighted
+        (5, "src1", "another clean document with plenty of words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    # satisfy the reader contract: the query only reads documents.parquet
+    out = entry.queries()["corpus_build_pipeline"](spark, str(tmp_path)).collect()
+    ids = {r.doc_id for r in out}
+    assert ids == {2, 5}  # 0,1 gated; 3 deduped; 4 unweighted
+    assert all(r.bin_id == 0 for r in out)
+    assert {r.source for r in out} == {"src0", "src1"}
