@@ -2470,6 +2470,47 @@ FROM mixed
 """
 
 
+def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact keyword extraction (operators/keywords.top_terms):
+    top-3 terms per doc by (tf DESC, df ASC, term) — the TF-IDF ordering
+    without float idf, so the oracle is bit-exact."""
+    from ganda_spark.operators.keywords import top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    return top_terms(docs, k=3)
+
+
+def _sql_text_keywords() -> str:
+    from ganda_spark.operators.keywords import DEFAULT_STOPWORDS
+
+    quoted = ", ".join(f"'{w}'" for w in DEFAULT_STOPWORDS)
+    return f"""
+WITH pairs AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest(
+    list_filter(string_split(lower(text), ' '),
+                w -> len(w) >= 2 AND NOT w IN ({quoted}))) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM pairs GROUP BY doc_id, term
+),
+dfc AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT doc_id, term FROM pairs) GROUP BY term
+)
+SELECT doc_id, term, tf, df, CAST(term_rank AS BIGINT) AS term_rank FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, dfc.df ASC, tf.term ASC)
+           AS term_rank
+  FROM tf JOIN dfc USING (term)
+) WHERE term_rank <= 3
+"""
+
+
 def q_text_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extraction stub: hash-projection bag-of-words embedding in
     exact integer basis points (the cross-engine-stable oracle form)."""
@@ -3423,6 +3464,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "text_decontam": (q_text_decontam, _SQL_DECONTAM),
     "text_decontam_bloom": (q_text_decontam_bloom, _SQL_DECONTAM),
     "corpus_build_pipeline": (q_corpus_build_pipeline, _sql_corpus_build()),
+    "text_keywords": (q_text_keywords, _sql_text_keywords()),
     "mix_corpus": (q_mix_corpus, _sql_mix_corpus()),
     "crawl_trap_filter": (
         q_crawl_trap_filter,

@@ -122,3 +122,53 @@ def test_chunk_tokens_coverage_no_shuffle(spark):
 def test_chunk_tokens_bad_stride(spark):
     with pytest.raises(ValueError, match="stride"):
         chunk_tokens(_docs(spark, ["a"]), window=4, stride=5)
+
+
+# -- top_terms (integer-exact keyword extraction) ---------------------------
+
+from ganda_spark.operators.keywords import top_terms
+
+
+def test_top_terms_ranking(spark):
+    out = top_terms(
+        _docs(
+            spark,
+            [
+                "apple apple apple banana banana cherry",
+                "banana cherry cherry dates dates dates",
+            ],
+        ),
+        k=2,
+    )
+    r = {(row.doc_id, row.term_rank): row for row in out.collect()}
+    # doc 0: apple tf=3 (df=1) then banana tf=2 (df=2)
+    assert (r[(0, 1)].term, r[(0, 1)].tf, r[(0, 1)].df) == ("apple", 3, 1)
+    assert (r[(0, 2)].term, r[(0, 2)].tf) == ("banana", 2)
+    # doc 1: dates tf=3, then cherry tf=2
+    assert r[(1, 1)].term == "dates" and r[(1, 2)].term == "cherry"
+
+
+def test_top_terms_df_breaks_ties_and_screens(spark):
+    out = top_terms(
+        _docs(
+            spark,
+            [
+                "the a rare common x",   # stopwords + 1-char screened out
+                "common words here",
+            ],
+        ),
+        k=3,
+    )
+    rows = [r for r in out.collect() if r.doc_id == 0]
+    # 'rare' (df=1) outranks 'common' (df=2) at equal tf=1
+    assert [r.term for r in sorted(rows, key=lambda r: r.term_rank)] == [
+        "rare", "common",
+    ]
+    assert all(r.term not in ("the", "a", "x") for r in out.collect())
+
+
+def test_top_terms_deterministic_under_repartition(spark):
+    docs = _docs(spark, ["w1 w2 w3 w1 w2 w1", "w2 w3 w4 w5 w2"])
+    a = sorted(map(tuple, top_terms(docs, k=3).collect()))
+    b = sorted(map(tuple, top_terms(docs.repartition(7), k=3).collect()))
+    assert a == b
