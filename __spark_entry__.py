@@ -2195,6 +2195,49 @@ FROM r
 """
 
 
+def q_f8_sitemap_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt `Sitemap:` directives (operators/robots.sitemap_links):
+    one synthesized robots file per frontier host, two sitemap lines each
+    (one mixed-case, whitespace-tolerant) — the discovery hop feeding
+    s11_sitemap_extract."""
+    from ganda_spark.operators.robots import sitemap_links
+
+    hosts = seed_frontier(spark, sf_dir).select("host").distinct()
+    robots = hosts.withColumn(
+        "robots_txt",
+        F.expr(
+            "concat('User-agent: *', chr(10), 'Disallow: /tmp', chr(10), "
+            "'Sitemap: http://', host, '/sitemap.xml', chr(10), "
+            "'sitemap:   http://', host, '/sitemap2.xml')"
+        ),
+    )
+    return sitemap_links(robots)
+
+
+_SQL_F8_SITEMAPS = """
+WITH {frontier},
+r AS (
+  SELECT DISTINCT host,
+    'User-agent: *' || chr(10) || 'Disallow: /tmp' || chr(10) ||
+    'Sitemap: http://' || host || '/sitemap.xml' || chr(10) ||
+    'sitemap:   http://' || host || '/sitemap2.xml' AS robots_txt
+  FROM frontier
+),
+x AS (
+  SELECT host,
+         regexp_extract_all(robots_txt, '(?i)sitemap:\\s*(\\S+)', 1) AS links
+  FROM r
+)
+SELECT host, p.u AS sitemap_url, CAST(p.i - 1 AS BIGINT) AS sitemap_ordinal
+FROM (
+  SELECT host,
+         unnest([struct_pack(u := links[i], i := i)
+                 for i in generate_series(1, len(links))]) AS p
+  FROM x
+)
+"""
+
+
 def q_s11_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap ingestion (operators/robots.extract_sitemap_urls): build
     one sitemap XML per host from the frontier (sorted <url><loc> entries)
@@ -2508,6 +2551,81 @@ SELECT doc_id, term, tf, df, CAST(term_rank AS BIGINT) AS term_rank FROM (
            AS term_rank
   FROM tf JOIN dfc USING (term)
 ) WHERE term_rank <= 3
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone exact n-gram Jaccard (the verify primitive of the
+    MinHash/LSH stack, pinned on its own): distinct 3-gram shingle sets
+    of each planted (original, mutated-copy) pair, |∩|·10⁴ div |∪| in
+    integer bp, is_near at ≥ 5000. Candidate GENERATION at scale belongs
+    to LSH (dedup_minhash_lsh); this entry pins the pair arithmetic."""
+    from ganda_spark.operators.dedup import with_shingles
+
+    docs = with_shingles(_near_corpus(spark, sf_dir))
+    a = (
+        docs.where((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 100000))
+        .select(
+            F.col("doc_id").alias("a_id"),
+            F.array_distinct("shingles").alias("sa"),
+        )
+    )
+    b = docs.where(F.col("doc_id") >= 100000).select(
+        F.col("doc_id").alias("b_id"), F.array_distinct("shingles").alias("sb")
+    )
+    pairs = a.join(b, F.col("b_id") == F.col("a_id") + 100000)
+    inter = F.size(F.array_intersect("sa", "sb")).cast("long")
+    uni = F.size(F.array_union("sa", "sb")).cast("long")
+    out = pairs.select(
+        "a_id",
+        "b_id",
+        inter.alias("n_inter"),
+        uni.alias("n_union"),
+        F.when(uni > 0, F.expr(
+            "size(array_intersect(sa, sb)) * 10000 DIV size(array_union(sa, sb))"
+        )).otherwise(F.lit(0)).cast("long").alias("jaccard_bp"),
+    )
+    return out.withColumn("is_near", F.col("jaccard_bp") >= 5000)
+
+
+_SQL_NGRAM_JACCARD = """
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS w
+  FROM documents
+),
+orig AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 3
+         THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                             for i in generate_series(1, len(w) - 2)])
+         ELSE []::VARCHAR[] END AS s
+  FROM base WHERE doc_id % 2 = 0
+),
+mut AS (
+  SELECT doc_id + 100000 AS doc_id,
+         list_slice(w, 1, greatest(len(w) - 3, 1)) AS w
+  FROM base WHERE doc_id % 2 = 0
+),
+mshn AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 3
+         THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                             for i in generate_series(1, len(w) - 2)])
+         ELSE []::VARCHAR[] END AS s
+  FROM mut
+),
+p AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
+         CAST(len(list_distinct(list_concat(a.s, b.s))) AS BIGINT) AS n_union
+  FROM orig a JOIN mshn b ON b.doc_id = a.doc_id + 100000
+)
+SELECT a_id, b_id, n_inter, n_union,
+  CAST(CASE WHEN n_union > 0 THEN n_inter * 10000 // n_union
+       ELSE 0 END AS BIGINT) AS jaccard_bp,
+  (CASE WHEN n_union > 0 THEN n_inter * 10000 // n_union ELSE 0 END) >= 5000
+    AS is_near
+FROM p
 """
 
 
@@ -3465,6 +3583,11 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "text_decontam_bloom": (q_text_decontam_bloom, _SQL_DECONTAM),
     "corpus_build_pipeline": (q_corpus_build_pipeline, _sql_corpus_build()),
     "text_keywords": (q_text_keywords, _sql_text_keywords()),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _SQL_NGRAM_JACCARD),
+    "f8_sitemap_links": (
+        q_f8_sitemap_links,
+        _SQL_F8_SITEMAPS.format(frontier=_DUCK_FRONTIER),
+    ),
     "mix_corpus": (q_mix_corpus, _sql_mix_corpus()),
     "crawl_trap_filter": (
         q_crawl_trap_filter,

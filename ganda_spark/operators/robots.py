@@ -54,6 +54,28 @@ aggregate(
 """
 
 
+def sitemap_links(
+    df: DataFrame, txt_col: str = "robots_txt", host_col: str = "host"
+) -> DataFrame:
+    """`Sitemap:` directive extraction from robots.txt — the discovery
+    hop BEFORE extract_sitemap_urls: robots.txt names the sitemaps, the
+    sitemaps name the URLs. Case-insensitive, whitespace-tolerant, NOT
+    scoped to any User-agent section (per the robots.txt spec, Sitemap
+    lines are global). One row per directive in file order; pure regexp
+    projection."""
+    links = F.regexp_extract_all(
+        F.col(txt_col), F.lit(r"(?i)sitemap:\s*(\S+)"), 1
+    )
+    return df.select(
+        F.col(host_col),
+        F.posexplode(links).alias("sitemap_ordinal", "sitemap_url"),
+    ).select(
+        host_col,
+        "sitemap_url",
+        F.col("sitemap_ordinal").cast("long").alias("sitemap_ordinal"),
+    )
+
+
 def extract_sitemap_urls(
     df: DataFrame, xml_col: str = "sitemap_xml", host_col: str = "host"
 ) -> DataFrame:

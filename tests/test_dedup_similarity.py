@@ -441,3 +441,19 @@ def test_connected_components_shortcut_chain64(spark):
     # reach doubles per round (r' = 2r + 1): 1,3,7,15,31,63 → 6 rounds
     # + 1 no-change round to detect the fixpoint
     assert stats["iterations"] <= 9
+
+
+def test_ngram_jaccard_arithmetic(spark, sf_dir):
+    """The standalone exact-Jaccard entry pins the verify arithmetic:
+    bp value is exactly n_inter*1e4 // n_union on every planted pair."""
+    import __spark_entry__ as entry
+
+    rows = entry.q_dedup_ngram_jaccard(spark, sf_dir).collect()
+    assert rows  # planted pairs exist
+    for row in rows:
+        assert row.b_id == row.a_id + 100000
+        assert row.n_inter <= row.n_union
+        assert row.jaccard_bp == row.n_inter * 10000 // max(row.n_union, 1)
+    # mutated copies drop <=3 trailing words: most pairs clear 0.5
+    near = sum(1 for row in rows if row.is_near)
+    assert near >= len(rows) * 3 // 4

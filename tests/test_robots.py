@@ -133,3 +133,31 @@ def test_sitemap_extract_plan_is_projection(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sitemap_links_directives(spark):
+    """Sitemap: lines are global (not UA-scoped), case-insensitive,
+    whitespace-tolerant; ordinals follow file order."""
+    from ganda_spark.operators.robots import sitemap_links
+
+    txt = (
+        "User-agent: *\nDisallow: /private\n"
+        "Sitemap: http://h.test/a.xml\n"
+        "User-agent: badbot\nDisallow: /\n"
+        "SITEMAP:http://h.test/b.xml\n"
+        "sitemap:\thttp://h.test/c.xml\n"
+    )
+    df = spark.createDataFrame([("h.test", txt)], "host string, robots_txt string")
+    rows = sitemap_links(df).orderBy("sitemap_ordinal").collect()
+    assert [r.sitemap_url for r in rows] == [
+        "http://h.test/a.xml",
+        "http://h.test/b.xml",   # found even inside a non-star section
+        "http://h.test/c.xml",
+    ]
+    assert [r.sitemap_ordinal for r in rows] == [0, 1, 2]
+    # a robots file with no sitemap lines yields zero rows
+    none = spark.createDataFrame(
+        [("x.test", "User-agent: *\nDisallow: /")],
+        "host string, robots_txt string",
+    )
+    assert sitemap_links(none).count() == 0
