@@ -265,3 +265,77 @@ def resize_real(
         ),
         scale_bp.cast("long").alias("scale_bp"),
     )
+
+
+MEDIA_EMBED_DIMS = 16
+
+
+def embed_media(
+    df: DataFrame,
+    payload_col: str = "payload",
+    dims: int = MEDIA_EMBED_DIMS,
+    chunk_bytes: int = 64,
+) -> DataFrame:
+    """Deterministic hash-projection embedding over raw payload BYTES —
+    the media-side sibling of functions/text.embed_text (VERDICT r4 #3),
+    so semantic dedup and ANN run over image/audio/video columns with the
+    same operators that serve text.
+
+    Bag-of-CHUNKS instead of bag-of-words: the payload is cut into fixed
+    `chunk_bytes` blocks, each block salted-md5-hashed, and dim j is the
+    mean over blocks of (byte_j(hash) − 127.5) — so two payloads sharing
+    most blocks (same file re-uploaded, same image with appended metadata)
+    land close in cosine, while unrelated payloads decorrelate. The cheap
+    deterministic stand-in for a learned image/audio encoder, honest about
+    what it is: content-block similarity, not perceptual similarity.
+
+    Pure Column end-to-end: the payload is hexed ONCE (hoisted `_mhx`),
+    blocks are substrings of the hex string (byte-substring is not
+    portable to every SQL oracle; hex-substring is), and each salt's hash
+    array is hoisted to its own column so CollapseProject cannot inline
+    one md5-per-block-per-DIM (the embed_text / SimHash lesson). Zero
+    Python, zero shuffle — vanishes into whole-stage codegen next to the
+    scan.
+
+    Adds: media_embedding array<double> and media_embedding_bp
+    array<bigint> (exact integer basis points: sum·10⁴ div n − 1 275 000,
+    the cross-engine-stable oracle form). Empty payloads embed as the
+    single empty-block hash (greatest(n,1) guards the sequence)."""
+    n_salts = (dims + 5) // 6  # 6 usable bytes per 48-bit hash
+    hexlen = 2 * chunk_bytes
+    out = df.withColumn("_mhx", F.expr(f"hex({payload_col})")).withColumn(
+        "_mn",
+        F.expr(
+            f"greatest(CAST(ceil(length({payload_col}) / {chunk_bytes}.0) AS INT), 1)"
+        ),
+    )
+    for s in range(n_salts):
+        out = out.withColumn(
+            f"_mh{s}",
+            F.expr(
+                f"transform(sequence(0, _mn - 1, 1), j -> "
+                f"CAST(conv(substr(md5(concat('{s}:', "
+                f"substr(_mhx, j * {hexlen} + 1, {hexlen}))), 1, 12), 16, 10)"
+                f" AS BIGINT))"
+            ),
+        )
+    n = F.col("_mn").cast("long")
+    sums, bps = [], []
+    for j in range(dims):
+        s, byte = divmod(j, 6)
+        sum_sql = (
+            f"aggregate(_mh{s}, 0L, (acc, h) -> acc + ((h >> {8 * byte}) & 255))"
+        )
+        sums.append(F.expr(sum_sql))
+        # integer div end-to-end (see embed_text: a double quotient can
+        # land a hair under an exactly-divisible integer and mis-floor)
+        bps.append(
+            F.expr(f"CAST({sum_sql} * 10000L div _mn - 1275000 AS BIGINT)")
+        )
+    emb = F.array(*[(x - 127.5 * n) / n for x in sums])
+    emb_bp = F.array(*bps)
+    return (
+        out.withColumn("media_embedding", emb)
+        .withColumn("media_embedding_bp", emb_bp)
+        .drop("_mhx", "_mn", *[f"_mh{s}" for s in range(n_salts)])
+    )

@@ -72,8 +72,9 @@ def mix_to_budget(
     size_col: str,
     source_col: str = "source",
     key_col: str = "doc_id",
-    shards: int = 1,
+    shards: int | None = 1,
     salt: str = "mix:",
+    auto_rows_per_shard: int = 4_000_000,
 ) -> DataFrame:
     """Weighted corpus mixing: cut a training mix of ~`budget` tokens
     where source s contributes ~weights[s] basis points of the mass (the
@@ -91,8 +92,25 @@ def mix_to_budget(
     mix order independent of stratified_take's sample order and
     sample_hash_col's split hash (same lesson as VERDICT r3 #1).
 
+    shards=None AUTO-DERIVES the shard count (VERDICT r4 #5: the
+    shards=1 default serialized hot sources unless scale callers
+    remembered the knob): one bounded histogram (per-source row counts,
+    max — a single collected long) sizes shards so no window sees more
+    than `auto_rows_per_shard` rows. Auto and an explicitly passed equal
+    count produce IDENTICAL rows (shards only enters the plan through
+    the shard hash and per-shard quota — pinned by test).
+
     Adds mix_quota (per-shard) and mix_prev_cum; returns kept rows only.
     """
+    if shards is None:
+        top = (
+            df.where(F.col(source_col).isin(list(weights)))
+            .groupBy(source_col)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(F.max("_n").alias("_m"))
+            .collect()[0]["_m"]
+        )
+        shards = max(1, -(-int(top or 0) // auto_rows_per_shard))
     if shards < 1:
         raise ValueError(f"shards must be >= 1, got {shards}")
     quota = F.lit(0).cast("long")

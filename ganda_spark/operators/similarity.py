@@ -269,6 +269,28 @@ def ivf_kmeans_topk(
     )
 
 
+def localized_kmeans_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """kmeans_centroids with LINEAGE TRUNCATION (collect + recreate): the
+    centroid table is driver-sized BY DEFINITION (C = n_centroids rows), so
+    collecting it is a bounded localization, not a scale hazard. Callers
+    that feed the centroid table into multiple plan branches (semantic
+    dedup's self-join sides + verdict join) need this or every branch
+    re-runs the full Lloyd's iteration chain — measured 3× the assignment
+    cost at sf0.1 (VERDICT r4)."""
+    cent = kmeans_centroids(emb, n_centroids, iters, dim, id_col, vec_col)
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        cent.collect(), f"{id_col} long, {vec_col} array<double>"
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     n_centroids: int = 16,
@@ -277,6 +299,7 @@ def semantic_dedup(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
     near-duplicate pruning that scales by CLUSTERING FIRST — k-means the
@@ -298,18 +321,17 @@ def semantic_dedup(
     established cross-engine-stable form) so the gate never sits on a
     last-ulp disagreement between engines.
 
+    centroids: a precomputed centroid table (id_col, vec_col) — the
+    incremental path passes the BASE corpus's centroids so batch and
+    corpus agree on list geometry; None learns them here (localized, see
+    localized_kmeans_centroids).
+
     Adds: list_id, dup_of (lowest-id near-duplicate neighbor, −1 when
     kept), is_semdup."""
-    cent = kmeans_centroids(emb, n_centroids, iters, dim, id_col, vec_col)
-    # LOCALIZE the centroid table (collect + recreate): `assigned` feeds
-    # three plan branches (both self-join sides + the verdict join), and
-    # without lineage truncation each branch re-runs the full k-means
-    # iteration chain — measured 3× the ivf cost at sf0.1. The centroid
-    # table is driver-sized BY DEFINITION (C = n_centroids rows), so this
-    # is a bounded collect, not a scale hazard.
-    spark = emb.sparkSession
-    cent = spark.createDataFrame(
-        cent.collect(), f"{id_col} long, {vec_col} array<double>"
+    cent = (
+        centroids
+        if centroids is not None
+        else localized_kmeans_centroids(emb, n_centroids, iters, dim, id_col, vec_col)
     )
     assigned = ivf_assign(emb, cent, id_col, vec_col, nprobe=1)
     a = assigned.select(
@@ -468,3 +490,240 @@ def ann_topk(
             F.round("cos", 4).alias("cos_r"),
         )
     )
+
+
+def code_key_col(vec_col: Column) -> Column:
+    """Portable group key for the int8 unit code (quantize_unit_col): the
+    comma-joined code string. Two vectors share the key iff the quantizer
+    agrees on EVERY dimension — identical 64-dim unit codes mean every
+    coordinate of the two unit vectors differs by < 1/127, i.e. cosine
+    ≈ 1 within quantization error — so key-equality is a high-precision
+    near-duplicate proxy that costs one projection, no pair scan. A string
+    key (not the raw array) so any SQL engine groups on the identical
+    representation."""
+    return F.concat_ws(
+        ",", F.transform(quantize_unit_col(vec_col), lambda x: x.cast("string"))
+    )
+
+
+def semantic_dedup_capped(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    threshold_bp: int = 9990,
+    max_list: int = 256,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    cache_out: list | None = None,
+) -> DataFrame:
+    """semantic_dedup with the DEGENERATE-LIST guard (VERDICT r4 #1): the
+    per-cluster pair scan is Σ|cluster|², so a corpus whose embeddings
+    collapse into one k-means list (boilerplate pages, near-identical
+    vectors) turns the within-list self-join into O(N²) — the same failure
+    mode lsh_candidate_pairs caps with `max_bucket`.
+
+    The guard keys on a LIST-SIZE HISTOGRAM (one narrow aggregate on the
+    same list_id the pair join would shuffle on — the candidate_pair_bound
+    shape, C rows, broadcast back):
+
+      * lists with ≤ max_list members take the exact within-list pair scan
+        — identical verdicts to the uncapped operator.
+      * lists ABOVE max_list skip the pair scan entirely and fall back to
+        EXACT-CODE GROUPING: members sharing the int8 unit-quantization
+        code (code_key_col) are mutual near-duplicates by construction
+        (identical codes ⇒ cosine ≈ 1 ≥ any sane threshold), so
+        dup_of = the group's min id — one groupBy + one join keyed on
+        (list_id, code), O(|list|) rows end-to-end, never |list|².
+
+    Recall under the cap: a degenerate list is degenerate BECAUSE its
+    members are near-identical, and near-identical vectors quantize to
+    equal codes with high probability — so exactly the corpus that
+    explodes the pair scan is the one the code-group fallback handles
+    almost losslessly (pinned by the planted-blob test). Members of an
+    oversized list whose codes differ are conservatively KEPT (the same
+    documented under-detection trade as LSH's dropped buckets). Capped
+    rows carry list_capped=true so downstream curation can audit.
+
+    Unlike the LSH cap (where a doc meets its dups again in other bands),
+    dropping an oversized list outright would forfeit ALL dedup for its
+    members — hence the fallback instead of a drop.
+
+    Adds: list_id, dup_of, is_semdup, list_capped."""
+    cent = (
+        centroids
+        if centroids is not None
+        else localized_kmeans_centroids(emb, n_centroids, iters, dim, id_col, vec_col)
+    )
+    assigned = ivf_assign(emb, cent, id_col, vec_col, nprobe=1)
+    if cache_out is not None:
+        # assigned feeds 5 branches (histogram, both small pair sides, the
+        # big-list group scan, the verdict join); persisting it trades one
+        # materialization for 4 recomputed corpus scans + broadcast joins
+        assigned = assigned.persist()
+        cache_out.append(assigned)
+    sizes = (
+        assigned.groupBy("list_id").agg(F.count(F.lit(1)).alias("_list_n"))
+    )
+    sized = assigned.join(F.broadcast(sizes), "list_id")
+    small = sized.where(F.col("_list_n") <= max_list)
+    a = small.select(
+        "list_id", F.col(id_col).alias("_i"), as_double(F.col(vec_col)).alias("_av")
+    )
+    b = small.select(
+        "list_id", F.col(id_col).alias("_j"), as_double(F.col(vec_col)).alias("_bv")
+    )
+    pairs = (
+        a.join(b, "list_id")
+        .where(F.col("_i") < F.col("_j"))
+        .select(
+            "_j", "_i", F.round(cosine(F.col("_av"), F.col("_bv")), 4).alias("_cos")
+        )
+        .where(F.col("_cos") >= F.lit(threshold_bp) / 10_000.0)
+    )
+    dup_small = pairs.groupBy("_j").agg(F.min("_i").alias("dup_of"))
+    big = sized.where(F.col("_list_n") > max_list).select(
+        "list_id",
+        F.col(id_col).alias("_j"),
+        code_key_col(as_double(F.col(vec_col))).alias("_ck"),
+    )
+    gmin = big.groupBy("list_id", "_ck").agg(F.min("_j").alias("_m"))
+    dup_big = (
+        big.join(gmin, ["list_id", "_ck"])
+        .where(F.col("_j") > F.col("_m"))
+        .select("_j", F.col("_m").alias("dup_of"))
+    )
+    dup = dup_small.unionByName(dup_big)
+    out = sized.join(dup, F.col(id_col) == F.col("_j"), "left").drop("_j")
+    return (
+        out.withColumn("is_semdup", F.col("dup_of").isNotNull())
+        .withColumn("dup_of", F.coalesce(F.col("dup_of"), F.lit(-1)).cast("long"))
+        .withColumn("list_capped", F.col("_list_n") > max_list)
+        .drop("_list_n")
+    )
+
+
+def semantic_dedup_incremental(
+    emb_base: DataFrame,
+    emb_new: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    threshold_bp: int = 9990,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Batch-vs-corpus SemDeDup — the nightly-ingest shape mirroring
+    incremental_lsh_pairs (operators/dedup.py): the EXISTING corpus never
+    self-joins; only the incoming batch is judged.
+
+    Centroids come from the BASE corpus (learned here when centroids=None,
+    or passed in — production keeps the centroid table from the last full
+    build), so batch and corpus agree on list geometry and assignment is
+    one broadcast-join scan per side. A new vector is a semantic duplicate
+    when some base member OR some lower-id new member in its list has
+    cosine ≥ threshold_bp/10⁴; dup_of = the minimum such id. When every
+    base id precedes every new id (the append-only ingest contract) this
+    equals full-mode semantic_dedup on the union with the same centroid
+    table, restricted to the new rows (pinned by test).
+
+    Plan: with broadcast_new=True (the normal case — the batch is orders
+    of magnitude smaller than the corpus) the corpus side NEVER shuffles:
+    one corpus scan joined against the broadcast batch per stage. Returns
+    rows for the NEW batch only, same schema as semantic_dedup."""
+    cent = (
+        centroids
+        if centroids is not None
+        else localized_kmeans_centroids(
+            emb_base, n_centroids, iters, dim, id_col, vec_col
+        )
+    )
+    new_assigned = ivf_assign(emb_new, cent, id_col, vec_col, nprobe=1)
+    new_b = new_assigned.select(
+        "list_id", F.col(id_col).alias("_j"), as_double(F.col(vec_col)).alias("_bv")
+    )
+    nb = F.broadcast(new_b) if broadcast_new else new_b
+    base_a = ivf_assign(emb_base, cent, id_col, vec_col, nprobe=1).select(
+        "list_id", F.col(id_col).alias("_i"), as_double(F.col(vec_col)).alias("_av")
+    )
+    thr = F.lit(threshold_bp) / 10_000.0
+    p_base = (
+        base_a.join(nb, "list_id")
+        .where(F.round(cosine(F.col("_av"), F.col("_bv")), 4) >= thr)
+        .select("_j", "_i")
+    )
+    new_a = new_assigned.select(
+        "list_id", F.col(id_col).alias("_i"), as_double(F.col(vec_col)).alias("_av")
+    )
+    p_new = (
+        new_a.join(nb, "list_id")
+        .where(F.col("_i") < F.col("_j"))
+        .where(F.round(cosine(F.col("_av"), F.col("_bv")), 4) >= thr)
+        .select("_j", "_i")
+    )
+    dup = p_base.unionByName(p_new).groupBy("_j").agg(F.min("_i").alias("dup_of"))
+    out = new_assigned.join(dup, F.col(id_col) == F.col("_j"), "left").drop("_j")
+    return out.withColumn(
+        "is_semdup", F.col("dup_of").isNotNull()
+    ).withColumn("dup_of", F.coalesce(F.col("dup_of"), F.lit(-1)).cast("long"))
+
+
+def recall_report(
+    emb: DataFrame,
+    query_ids: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    refine: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cache_out: list | None = None,
+) -> DataFrame:
+    """First-class ANN quality evaluator (VERDICT r4 #4): recall@k of each
+    approximate method vs brute-force ground truth on the SAME corpus and
+    query set, as data — one (method, k, recall_bp) row per method. This
+    is the dial engineers tune nprobe/n_planes/refine against at 100 TB:
+    run it on a sampled query set, read the recall column, adjust.
+
+    recall_bp = 10⁴ · |approx∩truth| div |truth| — integer basis points
+    (exact, engine-portable). Ground truth is the exact brute-force top-k;
+    each method's hit count is a left-semi join on (qid, nid) — truth-row
+    sized, never corpus-sized. The truth subplan feeds 4 branches, so it
+    is persisted (sampled-query sized, Q·k rows — bounded by the caller's
+    query sample, not the corpus); cache_out receives it for unpersist."""
+    truth = brute_force_topk(emb, query_ids, k, id_col, vec_col).select("qid", "nid")
+    truth = truth.persist()
+    if cache_out is not None:
+        cache_out.append(truth)
+    tot = truth.agg(F.count(F.lit(1)).alias("_tot"))
+    methods = [
+        ("lsh", ann_topk(emb, query_ids, k, n_planes, dim, id_col, vec_col)),
+        ("ivf", ivf_topk(emb, query_ids, k, n_centroids, nprobe, id_col, vec_col)),
+        (
+            "quantized",
+            quantized_topk(emb, query_ids, k, refine, dim, id_col, vec_col),
+        ),
+    ]
+    rows = []
+    for name, approx in methods:
+        hits = (
+            approx.select("qid", "nid")
+            .join(truth, ["qid", "nid"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("_hits"))
+        )
+        rows.append(
+            hits.crossJoin(tot).select(
+                F.lit(name).alias("method"),
+                F.lit(k).cast("long").alias("k"),
+                F.expr("_hits * 10000 div _tot").cast("long").alias("recall_bp"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -457,3 +457,125 @@ def test_ngram_jaccard_arithmetic(spark, sf_dir):
     # mutated copies drop <=3 trailing words: most pairs clear 0.5
     near = sum(1 for row in rows if row.is_near)
     assert near >= len(rows) * 3 // 4
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+
+
+def _nudged(emb, offset=100_000):
+    return emb.select(
+        (F.col("vec_id") + offset).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i == 0, x + 0.001).otherwise(x),
+        ).alias("embedding"),
+    ).where(F.col("vec_id") % 10 == offset % 10)
+
+
+def test_semantic_capped_guards_degenerate_and_keeps_planted(spark, sf_dir):
+    """The r4 #1 scale guard, mirroring test_lsh_bucket_cap_keeps_planted_
+    pairs: a 300-copy blob of one vector collapses into a single k-means
+    list; the capped operator must (a) mark that list capped, (b) still
+    flag every blob copy as a duplicate of the original via the O(n)
+    code-group fallback — never the O(n²) pair scan — and (c) keep the
+    exact verdicts for planted near-dups in normal-size lists."""
+    from ganda_spark.operators.similarity import semantic_dedup_capped
+
+    emb = _emb(spark, sf_dir)
+    b3 = emb.where(F.col("vec_id") == 3).select("embedding")
+    blob = (
+        spark.range(1, 301)
+        .crossJoin(b3)
+        .select((F.col("id") + 200_000).alias("vec_id"), "embedding")
+    )
+    nudged = _nudged(emb.where(F.col("vec_id") % 10 == 0))
+    corpus = emb.unionByName(nudged).unionByName(blob)
+    cache = []
+    out = semantic_dedup_capped(
+        corpus, n_centroids=16, iters=1, threshold_bp=9990, max_list=150,
+        dim=64, cache_out=cache,
+    )
+    rows = {r.vec_id: r for r in out.collect()}
+    for c in cache:
+        c.unpersist()
+    blob_rows = [rows[i] for i in range(200_001, 200_301)]
+    assert all(r.list_capped for r in blob_rows)
+    assert all(r.is_semdup and r.dup_of == 3 for r in blob_rows)
+    assert rows[3].dup_of == -1  # the original is the keeper
+    # planted near-dups whose list escaped the cap keep exact verdicts
+    uncapped_found = [
+        rows[i]
+        for i in rows
+        if 100_000 <= i < 200_000 and not rows[i].list_capped
+    ]
+    assert uncapped_found and all(
+        r.is_semdup and r.dup_of == r.vec_id - 100_000 for r in uncapped_found
+    )
+
+
+def test_semantic_capped_nocap_equals_uncapped(spark, sf_dir):
+    """With max_list above every list size the guard is inert: verdicts
+    equal the unguarded operator row-for-row (list_capped all false)."""
+    from ganda_spark.operators.similarity import (
+        localized_kmeans_centroids,
+        semantic_dedup,
+        semantic_dedup_capped,
+    )
+
+    emb = _emb(spark, sf_dir).where(F.col("vec_id") < 200)
+    corpus = emb.unionByName(_nudged(emb))
+    cent = localized_kmeans_centroids(corpus, n_centroids=8, iters=1, dim=64)
+    plain = semantic_dedup(corpus, threshold_bp=9990, centroids=cent)
+    capped = semantic_dedup_capped(
+        corpus, threshold_bp=9990, max_list=10**6, centroids=cent
+    )
+    key = lambda r: (r.vec_id, r.list_id, r.dup_of, r.is_semdup)  # noqa: E731
+    assert sorted(map(key, plain.collect())) == sorted(map(key, capped.collect()))
+    assert not any(r.list_capped for r in capped.collect())
+
+
+def test_semantic_incremental_equals_full_mode(spark, sf_dir):
+    """Append-only ingest contract (all base ids < all batch ids) + a
+    shared centroid table ⇒ incremental verdicts for the batch equal
+    full-mode semantic_dedup on the union restricted to batch rows — and
+    the corpus side never self-joins (the plan-shape point)."""
+    from ganda_spark.operators.similarity import (
+        localized_kmeans_centroids,
+        semantic_dedup,
+        semantic_dedup_incremental,
+    )
+
+    base = _emb(spark, sf_dir)
+    batch = _nudged(base)
+    cent = localized_kmeans_centroids(base, n_centroids=16, iters=1, dim=64)
+    full = (
+        semantic_dedup(base.unionByName(batch), threshold_bp=9990, centroids=cent)
+        .where(F.col("vec_id") >= 100_000)
+    )
+    inc = semantic_dedup_incremental(base, batch, threshold_bp=9990, centroids=cent)
+    key = lambda r: (r.vec_id, r.list_id, r.dup_of, r.is_semdup)  # noqa: E731
+    assert sorted(map(key, full.collect())) == sorted(map(key, inc.collect()))
+    assert all(r.is_semdup for r in inc.collect())  # every planted copy found
+
+
+def test_recall_report_bounds_and_determinism(spark, sf_dir):
+    from ganda_spark.operators.similarity import recall_report
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 8)
+    cache = []
+    rows = recall_report(emb, q, k=5, dim=64, cache_out=cache).collect()
+    again = recall_report(emb, q, k=5, dim=64).collect()
+    for c in cache:
+        c.unpersist()
+    assert {r.method for r in rows} == {"lsh", "ivf", "quantized"}
+    assert all(r.k == 5 and 0 <= r.recall_bp <= 10_000 for r in rows)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # the quantized path re-ranks exactly within a generous candidate set:
+    # its recall should be near-perfect on this corpus
+    qz = next(r for r in rows if r.method == "quantized")
+    assert qz.recall_bp >= 9000

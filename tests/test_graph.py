@@ -64,9 +64,11 @@ def test_cache_out_and_jvm_only_plan(spark):
     caches = []
     df = pagerank(e, iterations=2, cache_out=caches)
     df.collect()
-    assert len(caches) == 1 and caches[0].is_cached
-    caches[0].unpersist()
-    assert not caches[0].is_cached
+    # edge⋈outdeg + node table are both persisted and handed back
+    assert len(caches) == 2 and all(c.is_cached for c in caches)
+    for c in caches:
+        c.unpersist()
+    assert not any(c.is_cached for c in caches)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
@@ -93,3 +95,55 @@ def test_validation(spark):
         pagerank(e, damping_bp=0)
     with pytest.raises(ValueError, match="iterations"):
         pagerank(e, iterations=0)
+
+
+def test_pagerank_spool_matches_unspooled(spark, tmp_path):
+    """The spool is lineage truncation only: ranks are bit-identical with
+    and without it, and a DEEP chain (iterations=20, the CC failure mode
+    for unrolled plans — PLANS.md #17) completes under constant-size
+    plans."""
+    import random
+
+    rng = random.Random(11)
+    pairs = list({(f"h{rng.randrange(20)}", f"h{rng.randrange(20)}") for _ in range(80)})
+    e = _edges(spark, pairs)
+    a = sorted(
+        (r.node, r.rank_ppm)
+        for r in pagerank(e, iterations=6, spool_every=100).collect()
+    )
+    b = sorted(
+        (r.node, r.rank_ppm)
+        for r in pagerank(
+            e, iterations=6, spool_every=2, spool_dir=str(tmp_path / "s1")
+        ).collect()
+    )
+    assert a == b
+    deep = pagerank(
+        e, iterations=20, spool_every=8, spool_dir=str(tmp_path / "s2")
+    ).collect()
+    assert len(deep) == len(a)
+
+
+def test_pagerank_dangling_hand_computed_and_mass_conserved(spark):
+    """a→{b,c}, b→c, c is a sink; N=3, damping 8500. Iteration 1 by hand:
+    D = 10⁶ (c's rank), share = 10⁶·8500 DIV (10⁴·3) = 283 333;
+    a = 150000+283333, b = +425000, c = +425000+850000. Total mass stays
+    N·10⁶ up to integer-floor dust, and strictly exceeds the simplified
+    (mass-dropping) form."""
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "c")])
+    r1 = {r.node: r.rank_ppm for r in pagerank(e, iterations=1, dangling=True).collect()}
+    assert r1 == {"a": 433_333, "b": 858_333, "c": 1_708_333}
+    r3 = {r.node: r.rank_ppm for r in pagerank(e, iterations=3, dangling=True).collect()}
+    total = sum(r3.values())
+    # each iteration floors one div per edge + one dangling share per node
+    assert 3_000_000 - 6 * (3 + 3) <= total <= 3_000_000
+    plain = sum(
+        r.rank_ppm for r in pagerank(e, iterations=3).collect()
+    )
+    assert total > plain
+
+
+def test_pagerank_validation_spool_every(spark):
+    e = _edges(spark, [("a", "b")])
+    with pytest.raises(ValueError, match="spool_every"):
+        pagerank(e, spool_every=0)

@@ -203,3 +203,45 @@ def test_mix_to_budget_shards_split_quota(spark, sf_dir):
 
     with pytest.raises(ValueError, match="shards"):
         mix_to_budget(docs, weights, budget=10, size_col="n_tokens", shards=0)
+
+
+def test_mix_auto_shards_equals_explicit(spark, sf_dir):
+    """shards=None auto-derives the shard count from a per-source row
+    bound (VERDICT r4 #5); auto and an explicitly passed equal count must
+    produce IDENTICAL rows, and a generous bound must degenerate to the
+    serial shards=1 form."""
+    from ganda_spark.operators.sampling import mix_to_budget
+
+    docs = _mix_docs(spark, sf_dir)
+    weights = {"src0": 6000, "src1": 4000}
+    n_max = max(
+        r.n
+        for r in docs.where(F.col("source").isin(list(weights)))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    bound = max(1, n_max // 3)
+    k = -(-n_max // bound)
+    assert k > 1  # the bound actually forces multi-shard
+    auto = mix_to_budget(
+        docs, weights, budget=1200, size_col="n_tokens",
+        shards=None, auto_rows_per_shard=bound,
+    )
+    explicit = mix_to_budget(
+        docs, weights, budget=1200, size_col="n_tokens", shards=k
+    )
+    assert sorted((r.doc_id, r.mix_quota) for r in auto.collect()) == sorted(
+        (r.doc_id, r.mix_quota) for r in explicit.collect()
+    )
+    # generous bound → one shard → identical to the audit-simple form
+    auto1 = mix_to_budget(
+        docs, weights, budget=1200, size_col="n_tokens",
+        shards=None, auto_rows_per_shard=10**9,
+    )
+    serial = mix_to_budget(
+        docs, weights, budget=1200, size_col="n_tokens", shards=1
+    )
+    assert sorted((r.doc_id, r.mix_prev_cum) for r in auto1.collect()) == sorted(
+        (r.doc_id, r.mix_prev_cum) for r in serial.collect()
+    )
