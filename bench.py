@@ -106,6 +106,15 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict, dict, dict]:
         ("text_chunks_sec", "text_chunks"),
         ("crawl_trap_filter_sec", "crawl_trap_filter"),
         ("mix_corpus_sec", "mix_corpus"),
+        # r5 additions (same frozen-headline discipline): guarded +
+        # incremental + media-column SemDeDup, the ANN recall evaluator,
+        # and dangling-mass PageRank
+        ("dedup_semantic_capped_sec", "dedup_semantic_capped"),
+        ("dedup_semantic_incr_sec", "dedup_semantic_incremental"),
+        ("dedup_semantic_media_sec", "dedup_semantic_media"),
+        ("mm_embed_sec", "mm_embed"),
+        ("sim_recall_report_sec", "sim_recall_report"),
+        ("crawl_pagerank_norm_sec", "crawl_pagerank_normalized"),
     ):
         t0 = time.time()
         _materialize(entry.queries()[qname](spark, sf_dir))
@@ -177,6 +186,48 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict, dict, dict]:
     adversarial["capped_pairs"] = n_capped
     docs.unpersist()
     banded.unpersist()
+
+    # 4c. adversarial SemDeDup (r5, VERDICT r4 #1): an all-near-identical
+    # embedding corpus — 2000 exact copies of one vector k-means-collapse
+    # into a single list, so the UNCAPPED per-cluster scan pays |list|²/2
+    # ≈ 2M 64-dim cosines while the capped operator routes the list
+    # through the O(n) code-group fallback AND still flags every copy.
+    # Both measured; excluded from the headline sum like all stress runs.
+    from ganda_spark.operators.similarity import (
+        localized_kmeans_centroids,
+        semantic_dedup,
+        semantic_dedup_capped,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    b3 = emb.where(F.col("vec_id") == 3).select("embedding")
+    blob = (
+        spark.range(1, 2001)
+        .crossJoin(b3)
+        .select((F.col("id") + 200_000).alias("vec_id"), "embedding")
+    )
+    corpus = emb.unionByName(blob)
+    cent = localized_kmeans_centroids(corpus, n_centroids=16, iters=1, dim=64)
+    t0 = time.time()
+    cache: list = []
+    capped_dups = (
+        semantic_dedup_capped(
+            corpus, threshold_bp=9990, max_list=256, centroids=cent,
+            cache_out=cache,
+        )
+        .where(F.col("is_semdup"))
+        .count()
+    )
+    adversarial["dedup_semantic_degenerate_capped"] = round(time.time() - t0, 3)
+    adversarial["semantic_capped_dups"] = capped_dups
+    assert capped_dups >= 2000, f"blob escaped the capped dedup: {capped_dups}"
+    for c in cache:
+        c.unpersist()
+    t0 = time.time()
+    _materialize(semantic_dedup(corpus, threshold_bp=9990, centroids=cent))
+    adversarial["dedup_semantic_degenerate_uncapped"] = round(time.time() - t0, 3)
 
     frontier.unpersist()
     return timings, stats, adversarial

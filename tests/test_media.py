@@ -139,3 +139,56 @@ def test_header_meta_plan_is_jvm_only(spark):
     )
     plan = header_meta(binary_df)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def _cos(a, b):
+    num = sum(x * y for x, y in zip(a, b))
+    den = (sum(x * x for x in a) ** 0.5) * (sum(y * y for y in b) ** 0.5)
+    return num / den
+
+
+def test_embed_media_locality_copy_and_chunks(spark):
+    """Bag-of-chunks embedding contract: an exact payload copy embeds
+    identically (cos=1); a payload sharing most chunks lands closer than
+    an unrelated payload (the near-dup locality that makes semantic dedup
+    over media meaningful); chunk arithmetic covers the ragged tail and
+    the empty payload embeds via the single empty-chunk guard."""
+    from ganda_spark.operators.media import embed_media
+
+    base = ("A" * 64 + "B" * 64 + "C" * 64 + "D" * 64 + "E" * 64) * 2  # 10 chunks
+    rows = [
+        ("orig", base),
+        ("copy", base),
+        ("appended", base + "Z" * 64),  # shares 10 of 11 chunks
+        ("unrelated", "qrstuvwx" * 80),
+        ("ragged", "A" * 100),  # 2 chunks, second is 36 bytes
+        ("empty", ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    emb = {
+        r.doc_id: list(r.media_embedding)
+        for r in embed_media(df).collect()
+    }
+    assert emb["orig"] == emb["copy"]
+    assert _cos(emb["orig"], emb["appended"]) > _cos(emb["orig"], emb["unrelated"])
+    assert _cos(emb["orig"], emb["appended"]) > 0.9
+    assert len(emb["ragged"]) == 16 and len(emb["empty"]) == 16
+    # determinism across repartitioning (pure projection)
+    again = {
+        r.doc_id: list(r.media_embedding)
+        for r in embed_media(df.repartition(5)).collect()
+    }
+    assert again == emb
+
+
+def test_embed_media_plan_is_jvm_only(spark):
+    from ganda_spark.operators.media import embed_media
+
+    df = spark.createDataFrame([("1", "x" * 200)], "doc_id string, text string").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    plan = embed_media(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
