@@ -1233,13 +1233,20 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.where(F.col("jaccard") >= 0.5)
 
 
-def _sql_lsh_ctes(pair_predicate: str, bucket_cap: int | None = None) -> str:
+def _sql_lsh_ctes(
+    pair_predicate: str,
+    bucket_cap: int | None = None,
+    source_ctes: str | None = None,
+) -> str:
     """Shared oracle CTE chain for the LSH near-dup queries — sig/band/
     pairs/jaccard, ending at a `verified` CTE (id_a, id_b, jaccard ≥ 0.5).
     The candidate-pair predicate is the only variation (self-join form vs
     incremental corpus×batch form); cluster oracles extend the chain.
     bucket_cap mirrors lsh_candidate_pairs(max_bucket=...): buckets with
-    more than `bucket_cap` members are dropped before pair generation."""
+    more than `bucket_cap` members are dropped before pair generation.
+    source_ctes overrides the corpus+shingle CTEs (must end at
+    `sh`(doc_id, shingles)) — the media chunk-shingle path reuses the
+    whole downstream chain unchanged."""
     sig_cols = _duck_sig_cols()
     band_cols = ", ".join(
         f"md5(concat(CAST(sig_{2*b} AS VARCHAR), '_', CAST(sig_{2*b+1} AS VARCHAR)))"
@@ -1270,7 +1277,8 @@ pairs AS (
   FROM allbands a JOIN allbands b USING (band, bh)
   WHERE {pair_predicate}
 ),"""
-    return f"""{_DUCK_NEAR_CORPUS}, {_DUCK_SHINGLES},
+    src = source_ctes or f"{_DUCK_NEAR_CORPUS}, {_DUCK_SHINGLES}"
+    return f"""{src},
 sigs AS (SELECT doc_id, shingles, {sig_cols} FROM sh),
 banded AS (SELECT *, {band_cols} FROM sigs),
 allbands AS ({band_union}),
@@ -3962,6 +3970,65 @@ SELECT node, r AS rank_ppm FROM {prev}
 """
 
 
+def q_dedup_media_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection over a MEDIA column via the UNCHANGED
+    MinHash/LSH/Jaccard stack: payload chunks (hex, 64-byte) are the
+    shingles (operators/media.with_media_shingles), so truncated uploads
+    / re-sent files collide in bands exactly like overlapping texts.
+    Planted copies = payloads truncated to their full-chunk prefix
+    (docs ≥ 3 chunks, so chunk-set Jaccard ≥ 2/3) — found at ≥ 0.5.
+    Same scale shape as dedup_minhash_lsh: signatures persisted once,
+    bucket-keyed pair join, histogram-gated verify broadcast."""
+    from ganda_spark.operators.dedup import candidate_pair_bound
+    from ganda_spark.operators.media import with_media_shingles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bt = to_binary_table(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "payload"
+    )
+    copies = bt.where(
+        (F.col("doc_id") % 2 == 0) & (F.length("payload") >= 192)
+    ).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr(
+            "substring(payload, 1, CAST((length(payload) DIV 64) * 64 AS INT))"
+        ).alias("payload"),
+    )
+    sh = with_media_shingles(bt.unionByName(copies)).persist()
+    sigs = minhash_signatures(sh, k=8)
+    banded = lsh_band_hashes(sigs, k=8, rows_per_band=2).persist()
+    ub = candidate_pair_bound(banded, k=8, rows_per_band=2)
+    pairs = lsh_candidate_pairs(banded, k=8, rows_per_band=2, broadcast_bands=True)
+    verified = jaccard_verify(pairs, sh, broadcast_pairs=ub <= 5_000_000)
+    return verified.where(F.col("jaccard") >= 0.5)
+
+
+def _sql_dedup_media_minhash() -> str:
+    src = """mc AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, hex(encode(text)) AS hp,
+         greatest(CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT), 1)
+           AS n
+  FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT) + 100000,
+         substring(hex(encode(text)), 1,
+                   CAST(octet_length(encode(text)) // 64 * 128 AS BIGINT)),
+         octet_length(encode(text)) // 64
+  FROM documents
+  WHERE doc_id % 2 = 0 AND octet_length(encode(text)) >= 192
+),
+sh AS (
+  SELECT doc_id,
+         [substring(hp, (i - 1) * 128 + 1, 128)
+          for i in generate_series(1, n)] AS shingles
+  FROM mc
+)"""
+    return (
+        f"WITH {_sql_lsh_ctes('a.doc_id < b.doc_id', source_ctes=src)}\n"
+        "SELECT id_a, id_b, jaccard FROM verified"
+    )
+
+
 # Registry order is LOAD-BEARING (VERDICT r4 #7): the driver's
 # CORRECTNESS artifact consistently captures only the FIRST 50 entries, so
 # the first 50 below are the operators a production user leans on hardest —
@@ -4083,4 +4150,5 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
         q_crawl_host_health,
         _SQL_HOST_HEALTH.format(fetched=_fetched_cte(retries=1)),
     ),
+    "dedup_media_minhash": (q_dedup_media_minhash, _sql_dedup_media_minhash()),
 }

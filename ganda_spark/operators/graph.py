@@ -107,9 +107,12 @@ def pagerank(
         # sinks = nodes that never appear as src; N is a one-time bounded
         # count (single long on the driver, folded into the plan as a
         # literal — the nodes table itself never leaves the cluster)
+        # persisted: the left_semi against it runs every iteration, and
+        # without the persist each iteration re-runs the src-distinct
+        # aggregate it is built from
         dang_nodes = nodes.join(
             e.select(F.col("_src").alias("node")).distinct(), "node", "left_anti"
-        )
+        ).persist()
         n_nodes = nodes.count()
 
     spark = edges.sparkSession
@@ -161,4 +164,6 @@ def pagerank(
     if cache_out is not None:
         cache_out.append(ed)
         cache_out.append(nodes)
+        if dangling:
+            cache_out.append(dang_nodes)
     return ranks

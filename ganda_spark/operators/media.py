@@ -339,3 +339,32 @@ def embed_media(
         .withColumn("media_embedding_bp", emb_bp)
         .drop("_mhx", "_mn", *[f"_mh{s}" for s in range(n_salts)])
     )
+
+
+def with_media_shingles(
+    df: DataFrame, payload_col: str = "payload", chunk_bytes: int = 64
+) -> DataFrame:
+    """`shingles` for a MEDIA column: the payload's fixed-size chunks as
+    hex strings — the binary analog of word n-gram shingles, so the
+    UNCHANGED MinHash/LSH/Jaccard stack (operators/dedup.py) does
+    near-duplicate detection over image/audio/video columns: two payloads
+    sharing most chunks (same file re-encoded headers apart, truncated
+    uploads) collide in bands exactly like overlapping texts do.
+
+    Hex-string chunking (one hoisted hex()) keeps the construction
+    portable to SQL oracles that cannot substring BLOBs; pure Column,
+    zero shuffle. Chunks are start-aligned: an appended tail only
+    perturbs the final ragged chunk."""
+    hexlen = 2 * chunk_bytes
+    return (
+        df.withColumn("_msx", F.expr(f"hex({payload_col})"))
+        .withColumn(
+            "shingles",
+            F.expr(
+                f"transform(sequence(0, greatest(CAST(ceil("
+                f"length({payload_col}) / {chunk_bytes}.0) AS INT), 1) - 1, 1), "
+                f"j -> substr(_msx, j * {hexlen} + 1, {hexlen}))"
+            ),
+        )
+        .drop("_msx")
+    )

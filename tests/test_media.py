@@ -192,3 +192,52 @@ def test_embed_media_plan_is_jvm_only(spark):
     plan = embed_media(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_media_minhash_finds_truncated_and_exact_copies(spark):
+    """Chunk-shingle MinHash-LSH over a binary column: exact payload
+    copies verify at jaccard 1.0, truncated-to-full-chunks copies land
+    ≥ their analytic chunk-set Jaccard, unrelated payloads never pair at
+    ≥ 0.5."""
+    from ganda_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_band_hashes,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from ganda_spark.operators.media import with_media_shingles
+
+    import random
+
+    rng = random.Random(5)
+    payloads = [
+        (i, "".join(chr(65 + rng.randrange(26)) for _ in range(64 * 6)))
+        for i in range(40)
+    ]
+    rows = (
+        [(i, p) for i, p in payloads]
+        + [(100 + i, p) for i, p in payloads if i % 4 == 0]          # exact
+        + [(200 + i, p[: 64 * 4]) for i, p in payloads if i % 4 == 1]  # truncated
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    sh = with_media_shingles(df).persist()
+    banded = lsh_band_hashes(minhash_signatures(sh, k=8), k=8, rows_per_band=2)
+    pairs = lsh_candidate_pairs(banded, k=8, rows_per_band=2, broadcast_bands=True)
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_verify(pairs, sh, broadcast_pairs=True)
+        .where(F.col("jaccard") >= 0.5)
+        .collect()
+    }
+    sh.unpersist()
+    exact = {(i, 100 + i) for i, _ in payloads if i % 4 == 0}
+    trunc = {(i, 200 + i) for i, _ in payloads if i % 4 == 1}
+    assert exact <= set(got) and all(got[p] == 1.0 for p in exact)
+    # truncated copy shares 4 of 6 chunks: jaccard = 4/6
+    found_trunc = trunc & set(got)
+    assert len(found_trunc) >= len(trunc) * 0.8  # LSH recall, not exhaustive
+    assert all(abs(got[p] - round(4 / 6, 4)) < 1e-9 for p in found_trunc)
+    # nothing unrelated pairs up
+    assert set(got) <= exact | trunc
