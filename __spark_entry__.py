@@ -3523,7 +3523,9 @@ WHERE rk <= 3
 # ---------------------------------------------------------------------------
 
 
-def _duck_kmeans_ctes(src: str, n_centroids: int = 16, iters: int = 2) -> str:
+def _duck_kmeans_ctes(
+    src: str, n_centroids: int = 16, iters: int = 2, dim: int = 64
+) -> str:
     """c0..c{iters} Lloyd chain over relation `src`(vec_id, v) — the
     integer-bp update mirroring kmeans_centroids; final centroids are
     c{iters}."""
@@ -3545,7 +3547,7 @@ def _duck_kmeans_ctes(src: str, n_centroids: int = 16, iters: int = 2) -> str:
     SELECT list_id AS cid, t.d,
            (SUM(CAST(round(v[t.d] * 10000) AS BIGINT)) // COUNT(*)) / 10000.0
              AS val
-    FROM {assigned}, generate_series(1, 64) AS t(d)
+    FROM {assigned}, generate_series(1, {dim}) AS t(d)
     GROUP BY list_id, t.d
   ) GROUP BY cid
 )"""
@@ -4029,6 +4031,89 @@ sh AS (
     )
 
 
+def q_curate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic curation end-to-end — the SemDeDup analog of
+    curate_keep_best: documents → hash-projection text embeddings
+    (embed_text, dim 8) → semantic_dedup's duplicate chains (vec_id →
+    dup_of edges) → connected components (chains are transitive:
+    12→9→2 is one group) → keep the longest text per semantic cluster.
+    Planted exact copies (same text ⇒ identical embedding, cos = 1)
+    must collapse onto their originals.
+
+    Scale shape: the embedding is a projection; SemDeDup bounds the pair
+    scan per k-means list; the dup_of edge set is duplicate-sized (≪
+    corpus); CC runs on that small graph; the keeper join broadcasts the
+    label table and the corpus sees one window exchange."""
+    from ganda_spark.functions.text import embed_text
+    from ganda_spark.operators.dedup import (
+        connected_components,
+        keep_best_per_cluster,
+    )
+    from ganda_spark.operators.similarity import semantic_dedup
+
+    corpus = _dup_corpus(spark, sf_dir)
+    emb = embed_text(corpus).select(F.col("doc_id").alias("vec_id"), "embedding")
+    sem = semantic_dedup(
+        emb, n_centroids=16, iters=1, threshold_bp=9990, dim=8
+    )
+    edges = sem.where(F.col("is_semdup")).select(
+        F.col("vec_id").alias("id_a"), F.col("dup_of").alias("id_b")
+    )
+    cc = connected_components(edges)
+    return keep_best_per_cluster(corpus, cc)
+
+
+def _sql_curate_semantic() -> str:
+    def dimd(j: int) -> str:
+        s, byte = divmod(j, 6)
+        h = f"CAST(('0x' || substr(md5(concat('{s}:', w)), 1, 12)) AS BIGINT)"
+        return (
+            f"(list_sum([({h} >> {8 * byte}) & 255 for w in words])"
+            f" - 127.5 * len(words)) / len(words)"
+        )
+
+    vec = "[" + ", ".join(dimd(j) for j in range(8)) + "]"
+    cos_ab = _duck_cos("a.v", "b.v")
+    return f"""
+WITH RECURSIVE {_DUCK_DUP_CORPUS},
+wv AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM corpus),
+e AS (SELECT CAST(doc_id AS BIGINT) AS vec_id, {vec} AS v FROM wv),
+{_duck_kmeans_ctes('e', 16, 1, dim=8)},
+{_duck_assign('e', 'c1', 's')},
+dup AS (
+  SELECT b.vec_id AS j, min(a.vec_id) AS dup_of
+  FROM s a JOIN s b USING (list_id)
+  WHERE a.vec_id < b.vec_id AND round({cos_ab}, 4) >= 0.9990
+  GROUP BY b.vec_id
+),
+edges AS (
+  SELECT j AS u, dup_of AS v FROM dup
+  UNION ALL
+  SELECT dup_of, j FROM dup
+),
+verts AS (SELECT DISTINCT u AS vid FROM edges),
+reach(vid, r) AS (
+  SELECT vid, vid FROM verts
+  UNION
+  SELECT e2.v, reach.r FROM reach JOIN edges e2 ON e2.u = reach.vid
+),
+cc AS (SELECT vid AS doc_id, min(r) AS cluster_id FROM reach GROUP BY vid),
+labeled AS (
+  SELECT c.doc_id, coalesce(cc.cluster_id, c.doc_id) AS cluster_id,
+         CAST(length(c.text) AS BIGINT) AS text_len
+  FROM corpus c LEFT JOIN cc ON cc.doc_id = c.doc_id
+),
+ranked AS (
+  SELECT doc_id, cluster_id, text_len,
+         CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY text_len DESC, doc_id ASC) AS rk
+  FROM labeled
+)
+SELECT doc_id, cluster_id, n_members, text_len FROM ranked WHERE rk = 1
+"""
+
+
 # Registry order is LOAD-BEARING (VERDICT r4 #7): the driver's
 # CORRECTNESS artifact consistently captures only the FIRST 50 entries, so
 # the first 50 below are the operators a production user leans on hardest —
@@ -4151,4 +4236,5 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
         _SQL_HOST_HEALTH.format(fetched=_fetched_cte(retries=1)),
     ),
     "dedup_media_minhash": (q_dedup_media_minhash, _sql_dedup_media_minhash()),
+    "curate_semantic": (q_curate_semantic, _sql_curate_semantic()),
 }

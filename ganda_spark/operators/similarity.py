@@ -118,9 +118,22 @@ def ivf_assign(
 ) -> DataFrame:
     """IVF coarse quantization: each vector joins its `nprobe`
     nearest-centroid inverted lists (cosine, ties by centroid id). The
-    centroid table is tiny (C rows) and broadcast; assignment is one corpus
-    scan + a per-vector top-nprobe window keyed by the vector id (never a
-    global window)."""
+    centroid table is tiny (C rows) and broadcast.
+
+    nprobe=1 — the CORPUS-side assignment, the big side of every IVF /
+    k-means / SemDeDup plan — is an argmax AGGREGATE
+    (max_by over the (cos, −cid) struct), not a window: the window form
+    shuffled the full N×C candidate expansion (embedding arrays included)
+    through the per-vector sort — measured ~700 MB of shuffle per assign
+    at just 24k×64 in the r5 rehearsal, and N×C rows at 10^10×4096 is a
+    non-starter. The aggregate gets map-side partial combine, so the
+    exchange carries N rows (one running best per vector per mapper).
+    Tie semantics are IDENTICAL to the window (cos DESC, cid ASC): the
+    lexicographic struct max breaks equal cosines by larger −cid = lower
+    cid, and full-struct ties pin the same cid by construction.
+
+    nprobe>1 — the QUERY side, orders of magnitude smaller — keeps the
+    per-vector top-nprobe window (never a global window)."""
     from pyspark.sql import Window
 
     c = F.broadcast(
@@ -130,6 +143,14 @@ def ivf_assign(
     )
     v = as_double(F.col(vec_col))
     scored = emb.join(c).withColumn("_ccos", cosine(v, F.col("_cv"))).drop("_cv")
+    if nprobe == 1:
+        others = [col for col in emb.columns if col != id_col]
+        return scored.groupBy(id_col).agg(
+            *[F.first(col).alias(col) for col in others],
+            F.max_by(
+                F.col("_cid"), F.struct(F.col("_ccos"), (-F.col("_cid")).alias("_nc"))
+            ).alias(out_id),
+        )
     w = Window.partitionBy(id_col).orderBy(F.col("_ccos").desc(), F.col("_cid").asc())
     return (
         scored.withColumn("_crk", F.row_number().over(w))

@@ -174,3 +174,26 @@ def test_semantic_dedup_threshold_and_determinism(spark, sf_dir):
     a = semantic_dedup(corpus, n_centroids=8, iters=2, threshold_bp=9990)
     b = semantic_dedup(corpus, n_centroids=8, iters=2, threshold_bp=9990)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_ivf_assign_corpus_side_is_aggregate_not_window(spark, sf_dir):
+    """The nprobe=1 corpus assignment must plan as an argmax AGGREGATE
+    (map-side partial combine, N-row exchange), never the window form
+    that shuffles the full N×C candidate expansion (the r5 rehearsal
+    scale fix); the query side (nprobe>1) legitimately keeps its
+    per-vector top-nprobe window."""
+    from ganda_spark.operators.similarity import ivf_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent = emb.where(F.col("vec_id") < 16)
+    corpus_plan = (
+        ivf_assign(emb, cent, nprobe=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in corpus_plan
+    assert "max_by" in corpus_plan or "HashAggregate" in corpus_plan
+    probe_plan = (
+        ivf_assign(emb.where(F.col("vec_id") < 10), cent, nprobe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" in probe_plan
