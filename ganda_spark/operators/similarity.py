@@ -38,6 +38,19 @@ def cosine(a, b) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_pre(av, an, bv, bn) -> Column:
+    """cosine with PRE-HOISTED norms: dot(av,bv)/(an·bn). Bit-identical
+    to `cosine` (same fold producing the same double, evaluated once per
+    ROW instead of once per PAIR) — but in a quadratic pair stage it cuts
+    the per-pair work from 3 array folds (dot + both norms) to 1. Spark
+    cannot CSE across join sides; hoisting the norm into a projection
+    below the exchange materializes it into the shuffle/broadcast row, so
+    every O(n²) consumer pays dot-only. The r5 rehearsal's small-list
+    pair scan is ~39M pairs at 100k docs — 2 saved folds per pair is the
+    difference between the scan and 3× the scan."""
+    return dot(av, bv) / (an * bn)
+
+
 def brute_force_topk(
     emb: DataFrame,
     query_ids: DataFrame,
@@ -50,12 +63,21 @@ def brute_force_topk(
     from pyspark.sql import Window
 
     q = query_ids.select(
-        F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv")
+        F.col(id_col).alias("qid"),
+        as_double(F.col(vec_col)).alias("qv"),
+        norm(as_double(F.col(vec_col))).alias("qn"),
     )
-    c = emb.select(F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("nv"))
+    c = emb.select(
+        F.col(id_col).alias("nid"),
+        as_double(F.col(vec_col)).alias("nv"),
+        norm(as_double(F.col(vec_col))).alias("nn"),
+    )
     scored = (
         c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
-        .select("qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("cos"))
+        .select(
+            "qid", "nid",
+            cosine_pre(F.col("qv"), F.col("qn"), F.col("nv"), F.col("nn")).alias("cos"),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
     return (
@@ -138,11 +160,22 @@ def ivf_assign(
 
     c = F.broadcast(
         centroids.select(
-            F.col(id_col).alias("_cid"), as_double(F.col(vec_col)).alias("_cv")
+            F.col(id_col).alias("_cid"),
+            as_double(F.col(vec_col)).alias("_cv"),
+            norm(as_double(F.col(vec_col))).alias("_cn"),
         )
     )
     v = as_double(F.col(vec_col))
-    scored = emb.join(c).withColumn("_ccos", cosine(v, F.col("_cv"))).drop("_cv")
+    # hoist the row norm: cosine-vs-C-centroids pays C dots, not C dots +
+    # C recomputed row norms (cosine_pre docstring — same double, 1× work)
+    scored = (
+        emb.withColumn("_vn", norm(v))
+        .join(c)
+        .withColumn(
+            "_ccos", cosine_pre(v, F.col("_vn"), F.col("_cv"), F.col("_cn"))
+        )
+        .drop("_cv", "_cn")
+    )
     if nprobe == 1:
         others = [col for col in emb.columns if col != id_col]
         return scored.groupBy(id_col).agg(
@@ -156,7 +189,7 @@ def ivf_assign(
         scored.withColumn("_crk", F.row_number().over(w))
         .where(F.col("_crk") <= nprobe)
         .withColumnRenamed("_cid", out_id)
-        .drop("_ccos", "_crk")
+        .drop("_ccos", "_crk", "_vn")
     )
 
 
@@ -180,15 +213,24 @@ def ivf_topk(
 
     centroids = emb.where(F.col(id_col) < n_centroids)
     corpus = ivf_assign(emb, centroids, id_col, vec_col, nprobe=1).select(
-        F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("nv"), "list_id"
+        F.col(id_col).alias("nid"),
+        as_double(F.col(vec_col)).alias("nv"),
+        norm(as_double(F.col(vec_col))).alias("nn"),
+        "list_id",
     )
     probes = ivf_assign(query_ids, centroids, id_col, vec_col, nprobe=nprobe).select(
-        F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv"), "list_id"
+        F.col(id_col).alias("qid"),
+        as_double(F.col(vec_col)).alias("qv"),
+        norm(as_double(F.col(vec_col))).alias("qn"),
+        "list_id",
     )
     scored = (
         corpus.join(F.broadcast(probes), "list_id")
         .where(F.col("qid") != F.col("nid"))
-        .select("qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("cos"))
+        .select(
+            "qid", "nid",
+            cosine_pre(F.col("qv"), F.col("qn"), F.col("nv"), F.col("nn")).alias("cos"),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
     return (
@@ -269,15 +311,24 @@ def ivf_kmeans_topk(
 
     centroids = kmeans_centroids(emb, n_centroids, iters, dim, id_col, vec_col)
     corpus = ivf_assign(emb, centroids, id_col, vec_col, nprobe=1).select(
-        F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("nv"), "list_id"
+        F.col(id_col).alias("nid"),
+        as_double(F.col(vec_col)).alias("nv"),
+        norm(as_double(F.col(vec_col))).alias("nn"),
+        "list_id",
     )
     probes = ivf_assign(query_ids, centroids, id_col, vec_col, nprobe=nprobe).select(
-        F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv"), "list_id"
+        F.col(id_col).alias("qid"),
+        as_double(F.col(vec_col)).alias("qv"),
+        norm(as_double(F.col(vec_col))).alias("qn"),
+        "list_id",
     )
     scored = (
         corpus.join(F.broadcast(probes), "list_id")
         .where(F.col("qid") != F.col("nid"))
-        .select("qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("cos"))
+        .select(
+            "qid", "nid",
+            cosine_pre(F.col("qv"), F.col("qn"), F.col("nv"), F.col("nn")).alias("cos"),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
     return (
@@ -356,16 +407,25 @@ def semantic_dedup(
     )
     assigned = ivf_assign(emb, cent, id_col, vec_col, nprobe=1)
     a = assigned.select(
-        "list_id", F.col(id_col).alias("_i"), as_double(F.col(vec_col)).alias("_av")
+        "list_id",
+        F.col(id_col).alias("_i"),
+        as_double(F.col(vec_col)).alias("_av"),
+        norm(as_double(F.col(vec_col))).alias("_an"),
     )
     b = assigned.select(
-        "list_id", F.col(id_col).alias("_j"), as_double(F.col(vec_col)).alias("_bv")
+        "list_id",
+        F.col(id_col).alias("_j"),
+        as_double(F.col(vec_col)).alias("_bv"),
+        norm(as_double(F.col(vec_col))).alias("_bn"),
     )
     pairs = (
         a.join(b, "list_id")
         .where(F.col("_i") < F.col("_j"))
         .select(
-            "_j", "_i", F.round(cosine(F.col("_av"), F.col("_bv")), 4).alias("_cos")
+            "_j", "_i",
+            F.round(
+                cosine_pre(F.col("_av"), F.col("_an"), F.col("_bv"), F.col("_bn")), 4
+            ).alias("_cos"),
         )
         .where(F.col("_cos") >= F.lit(threshold_bp) / 10_000.0)
     )
@@ -492,15 +552,21 @@ def ann_topk(
     q = query_ids.select(
         F.col(id_col).alias("qid"),
         as_double(F.col(vec_col)).alias("qv"),
+        norm(as_double(F.col(vec_col))).alias("qn"),
         b.alias("qbucket"),
     )
     c = emb.select(
-        F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("nv"),
+        F.col(id_col).alias("nid"),
+        as_double(F.col(vec_col)).alias("nv"),
+        norm(as_double(F.col(vec_col))).alias("nn"),
         b.alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), (F.col("bucket") == F.col("qbucket")) & (F.col("qid") != F.col("nid")))
-        .select("qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("cos"))
+        .select(
+            "qid", "nid",
+            cosine_pre(F.col("qv"), F.col("qn"), F.col("nv"), F.col("nn")).alias("cos"),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
     return (
@@ -590,16 +656,25 @@ def semantic_dedup_capped(
     sized = assigned.join(F.broadcast(sizes), "list_id")
     small = sized.where(F.col("_list_n") <= max_list)
     a = small.select(
-        "list_id", F.col(id_col).alias("_i"), as_double(F.col(vec_col)).alias("_av")
+        "list_id",
+        F.col(id_col).alias("_i"),
+        as_double(F.col(vec_col)).alias("_av"),
+        norm(as_double(F.col(vec_col))).alias("_an"),
     )
     b = small.select(
-        "list_id", F.col(id_col).alias("_j"), as_double(F.col(vec_col)).alias("_bv")
+        "list_id",
+        F.col(id_col).alias("_j"),
+        as_double(F.col(vec_col)).alias("_bv"),
+        norm(as_double(F.col(vec_col))).alias("_bn"),
     )
     pairs = (
         a.join(b, "list_id")
         .where(F.col("_i") < F.col("_j"))
         .select(
-            "_j", "_i", F.round(cosine(F.col("_av"), F.col("_bv")), 4).alias("_cos")
+            "_j", "_i",
+            F.round(
+                cosine_pre(F.col("_av"), F.col("_an"), F.col("_bv"), F.col("_bn")), 4
+            ).alias("_cos"),
         )
         .where(F.col("_cos") >= F.lit(threshold_bp) / 10_000.0)
     )
@@ -664,25 +739,35 @@ def semantic_dedup_incremental(
     )
     new_assigned = ivf_assign(emb_new, cent, id_col, vec_col, nprobe=1)
     new_b = new_assigned.select(
-        "list_id", F.col(id_col).alias("_j"), as_double(F.col(vec_col)).alias("_bv")
+        "list_id",
+        F.col(id_col).alias("_j"),
+        as_double(F.col(vec_col)).alias("_bv"),
+        norm(as_double(F.col(vec_col))).alias("_bn"),
     )
     nb = F.broadcast(new_b) if broadcast_new else new_b
     base_a = ivf_assign(emb_base, cent, id_col, vec_col, nprobe=1).select(
-        "list_id", F.col(id_col).alias("_i"), as_double(F.col(vec_col)).alias("_av")
+        "list_id",
+        F.col(id_col).alias("_i"),
+        as_double(F.col(vec_col)).alias("_av"),
+        norm(as_double(F.col(vec_col))).alias("_an"),
     )
     thr = F.lit(threshold_bp) / 10_000.0
+    cos_ab = cosine_pre(F.col("_av"), F.col("_an"), F.col("_bv"), F.col("_bn"))
     p_base = (
         base_a.join(nb, "list_id")
-        .where(F.round(cosine(F.col("_av"), F.col("_bv")), 4) >= thr)
+        .where(F.round(cos_ab, 4) >= thr)
         .select("_j", "_i")
     )
     new_a = new_assigned.select(
-        "list_id", F.col(id_col).alias("_i"), as_double(F.col(vec_col)).alias("_av")
+        "list_id",
+        F.col(id_col).alias("_i"),
+        as_double(F.col(vec_col)).alias("_av"),
+        norm(as_double(F.col(vec_col))).alias("_an"),
     )
     p_new = (
         new_a.join(nb, "list_id")
         .where(F.col("_i") < F.col("_j"))
-        .where(F.round(cosine(F.col("_av"), F.col("_bv")), 4) >= thr)
+        .where(F.round(cos_ab, 4) >= thr)
         .select("_j", "_i")
     )
     dup = p_base.unionByName(p_new).groupBy("_j").agg(F.min("_i").alias("dup_of"))
