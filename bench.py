@@ -115,6 +115,8 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict, dict, dict]:
         ("mm_embed_sec", "mm_embed"),
         ("sim_recall_report_sec", "sim_recall_report"),
         ("crawl_pagerank_norm_sec", "crawl_pagerank_normalized"),
+        ("dedup_media_minhash_sec", "dedup_media_minhash"),
+        ("curate_semantic_sec", "curate_semantic"),
     ):
         t0 = time.time()
         _materialize(entry.queries()[qname](spark, sf_dir))
