@@ -165,14 +165,18 @@ def ivf_assign(
             norm(as_double(F.col(vec_col))).alias("_cn"),
         )
     )
-    v = as_double(F.col(vec_col))
-    # hoist the row norm: cosine-vs-C-centroids pays C dots, not C dots +
-    # C recomputed row norms (cosine_pre docstring — same double, 1× work)
+    # hoist the double-cast vector AND its norm: referencing the
+    # as_double(...) transform after the join would re-evaluate the cast
+    # (plus an array allocation) once per (row × centroid) — C× per row;
+    # hoisted columns are computed once per row and the C-way expansion
+    # pays dots only (cosine_pre docstring — same doubles, 1× work)
     scored = (
-        emb.withColumn("_vn", norm(v))
+        emb.withColumn("_v", as_double(F.col(vec_col)))
+        .withColumn("_vn", norm(F.col("_v")))
         .join(c)
         .withColumn(
-            "_ccos", cosine_pre(v, F.col("_vn"), F.col("_cv"), F.col("_cn"))
+            "_ccos",
+            cosine_pre(F.col("_v"), F.col("_vn"), F.col("_cv"), F.col("_cn")),
         )
         .drop("_cv", "_cn")
     )
@@ -189,7 +193,7 @@ def ivf_assign(
         scored.withColumn("_crk", F.row_number().over(w))
         .where(F.col("_crk") <= nprobe)
         .withColumnRenamed("_cid", out_id)
-        .drop("_ccos", "_crk", "_vn")
+        .drop("_ccos", "_crk", "_vn", "_v")
     )
 
 

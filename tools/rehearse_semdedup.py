@@ -50,8 +50,11 @@ def synth(spark, n: int, offset: int = 0):
             f"':{s}')), 1, 12), 16, 10) AS BIGINT)"
         )
     hs = ", ".join(cols)
+    # 255.0D / 0.5D: the D suffix forces DOUBLE literals — a bare 255.0
+    # parses as DECIMAL in Spark SQL, and BigDecimal element arithmetic
+    # made every downstream cosine pathological (measured 5×)
     dims = ", ".join(
-        f"(shiftright(_h[{j // 6}], {8 * (j % 6)}) & 255) / 255.0 - 0.5"
+        f"(shiftright(_h[{j // 6}], {8 * (j % 6)}) & 255) / 255.0D - 0.5D"
         for j in range(64)
     )
     return (
@@ -78,7 +81,12 @@ def main() -> int:
         .crossJoin(base.where(F.col("vec_id") == 42).select("embedding"))
         .select((F.col("id") + 1_000_000).alias("vec_id"), "embedding")
     )
-    corpus = base.unionByName(blob).persist()
+    # even layout: the blob's crossJoin lineage would otherwise land all
+    # its rows in ONE partition (BNLJ streams the 1-row side), handing a
+    # single task 7× the assign work — synthetic-input skew a real table
+    # never has (and AQE would split under a shuffle; the cached scan has
+    # none to split)
+    corpus = base.unionByName(blob).repartition(256).persist()
     corpus.count()
 
     out = {"n": n, "blob": blob_n, "centroids": n_cent}
