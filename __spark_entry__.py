@@ -4114,6 +4114,99 @@ SELECT doc_id, cluster_id, n_members, text_len FROM ranked WHERE rk = 1
 """
 
 
+_DUCK_SPAN_CANON = (
+    "concat_ws(chr(31), kind, text, coalesce(media_ref, ''), "
+    "CAST(\"offset\" AS VARCHAR))"
+)
+
+
+def q_dedup_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over INTERLEAVED SPAN DOCUMENTS — the north-rule
+    payload: identity = md5 of the ordered canonical (kind, text,
+    media_ref, offset) sequence (sources/spans.span_fingerprint), so the
+    re-crawled copy of a doc collapses onto the original without the
+    span arrays ever shuffling (16-byte fingerprints do). Planted exact
+    copies under 'dup-*' ids must group with their originals."""
+    from ganda_spark.sources.spans import span_fingerprint
+
+    docs = synth_span_docs(spark, sf_dir)
+    num = F.regexp_extract(F.col("doc_id"), r"(\d+)", 1).cast("long")
+    dups = docs.where(num % 4 == 0).select(
+        F.concat(F.lit("dup-"), num.cast("string")).alias("doc_id"), "spans"
+    )
+    fp = span_fingerprint(docs.unionByName(dups))
+    return fp.groupBy("span_fp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").alias("keep_id"),
+    )
+
+
+def _sql_dedup_spans_exact() -> str:
+    return f"""
+WITH rows AS (SELECT * FROM ({_SQL_T10}
+)),
+allrows AS (
+  SELECT * FROM rows
+  UNION ALL
+  SELECT concat('dup-', substring(doc_id, 5)), kind, text, media_ref, "offset"
+  FROM rows WHERE CAST(substring(doc_id, 5) AS BIGINT) % 4 = 0
+),
+fps AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           list({_DUCK_SPAN_CANON} ORDER BY "offset"), chr(30))) AS span_fp
+  FROM allrows GROUP BY doc_id
+)
+SELECT span_fp, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keep_id
+FROM fps GROUP BY span_fp
+"""
+
+
+def q_dedup_spans_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup detection over span documents: each span's canonical
+    string is a shingle, feeding the unchanged MinHash/LSH/Jaccard stack
+    (third shingle domain after text n-grams and media chunks). Planted
+    near-dups = the same doc with its image span dropped (shares 3/4 or
+    4/5 spans → Jaccard ≥ 0.75) — found at the ≥ 0.5 gate."""
+    from ganda_spark.operators.dedup import candidate_pair_bound
+    from ganda_spark.sources.spans import with_span_shingles
+
+    docs = synth_span_docs(spark, sf_dir)
+    num = F.regexp_extract(F.col("doc_id"), r"(\d+)", 1).cast("long")
+    near = docs.where(num % 2 == 0).select(
+        F.concat(F.lit("dup-"), num.cast("string")).alias("doc_id"),
+        F.filter(F.col("spans"), lambda s: s["kind"] != "image").alias("spans"),
+    )
+    sh = with_span_shingles(docs.unionByName(near)).persist()
+    sigs = minhash_signatures(sh, k=8)
+    banded = lsh_band_hashes(sigs, k=8, rows_per_band=2).persist()
+    ub = candidate_pair_bound(banded, k=8, rows_per_band=2)
+    pairs = lsh_candidate_pairs(banded, k=8, rows_per_band=2, broadcast_bands=True)
+    verified = jaccard_verify(pairs, sh, broadcast_pairs=ub <= 5_000_000)
+    return verified.where(F.col("jaccard") >= 0.5)
+
+
+def _sql_dedup_spans_minhash() -> str:
+    src = f"""rows AS (SELECT * FROM ({_SQL_T10}
+)),
+allrows AS (
+  SELECT * FROM rows
+  UNION ALL
+  SELECT concat('dup-', substring(doc_id, 5)), kind, text, media_ref, "offset"
+  FROM rows
+  WHERE CAST(substring(doc_id, 5) AS BIGINT) % 2 = 0 AND kind <> 'image'
+),
+sh AS (
+  SELECT doc_id,
+         list({_DUCK_SPAN_CANON} ORDER BY "offset") AS shingles
+  FROM allrows GROUP BY doc_id
+)"""
+    return (
+        f"WITH {_sql_lsh_ctes('a.doc_id < b.doc_id', source_ctes=src)}\n"
+        "SELECT id_a, id_b, jaccard FROM verified"
+    )
+
+
 # Registry order is LOAD-BEARING (VERDICT r4 #7): the driver's
 # CORRECTNESS artifact consistently captures only the FIRST 50 entries, so
 # the first 50 below are the operators a production user leans on hardest —
@@ -4237,4 +4330,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     ),
     "dedup_media_minhash": (q_dedup_media_minhash, _sql_dedup_media_minhash()),
     "curate_semantic": (q_curate_semantic, _sql_curate_semantic()),
+    "dedup_spans_exact": (q_dedup_spans_exact, _sql_dedup_spans_exact()),
+    "dedup_spans_minhash": (q_dedup_spans_minhash, _sql_dedup_spans_minhash()),
 }

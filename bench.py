@@ -117,6 +117,8 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict, dict, dict]:
         ("crawl_pagerank_norm_sec", "crawl_pagerank_normalized"),
         ("dedup_media_minhash_sec", "dedup_media_minhash"),
         ("curate_semantic_sec", "curate_semantic"),
+        ("dedup_spans_exact_sec", "dedup_spans_exact"),
+        ("dedup_spans_minhash_sec", "dedup_spans_minhash"),
     ):
         t0 = time.time()
         _materialize(entry.queries()[qname](spark, sf_dir))

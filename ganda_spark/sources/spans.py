@@ -159,3 +159,48 @@ def explode_spans(span_docs: DataFrame) -> DataFrame:
         F.col("s.media_ref").alias("media_ref"),
         F.col("s.offset").alias("offset"),
     )
+
+
+def span_canon(s) -> F.Column:
+    """Canonical string of one span struct — kind␟text␟media_ref␟offset
+    (unit separators; NULL media_ref renders as ''). This is the exact
+    per-row invariant the reference contract pins (span-sequence equality
+    on kind, text, media_ref, order), as a comparable string."""
+    return F.concat_ws(
+        "\x1f",
+        s["kind"],
+        F.coalesce(s["text"], F.lit("")),
+        F.coalesce(s["media_ref"], F.lit("")),
+        s["offset"].cast("string"),
+    )
+
+
+def span_fingerprint(
+    span_docs: DataFrame, id_col: str = "doc_id", fp_col: str = "span_fp"
+) -> DataFrame:
+    """md5 over the ordered canonical span sequence — one 32-char identity
+    per document, equal iff the (kind, text, media_ref, order) sequence is
+    equal. A pure projection (transform + concat_ws + md5, zero shuffle),
+    so exact dedup over interleaved span docs is hash-groupBy on this
+    column: the 100 TB span table never shuffles its span arrays, only
+    the 16-byte fingerprints."""
+    return span_docs.withColumn(
+        fp_col,
+        F.md5(
+            F.concat_ws(
+                "\x1e", F.transform(F.col("spans"), span_canon)
+            ).cast("binary")
+        ),
+    )
+
+
+def with_span_shingles(span_docs: DataFrame) -> DataFrame:
+    """`shingles` = the canonical span strings — each SPAN is a shingle,
+    so the unchanged MinHash/LSH/Jaccard stack (operators/dedup.py) finds
+    NEAR-duplicate span documents: same doc re-crawled with one media
+    span swapped, a trailing span dropped, an inserted ad block. The
+    third reuse of the stack after word n-grams (text) and payload
+    chunks (media) — one candidate-pair engine, three shingle domains."""
+    return span_docs.withColumn(
+        "shingles", F.transform(F.col("spans"), span_canon)
+    )
