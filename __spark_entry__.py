@@ -4114,6 +4114,58 @@ SELECT doc_id, cluster_id, n_members, text_len FROM ranked WHERE rk = 1
 """
 
 
+def q_sim_media_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity SEARCH over a media column: embed_media's chunk-hash
+    embeddings feed the unchanged brute_force_topk — nearest-payload
+    lookup (find re-uploads / shared-prefix files for a query asset) with
+    the same operator that serves text embeddings."""
+    from ganda_spark.operators.media import embed_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = embed_media(to_binary_table(docs)).select(
+        F.col("doc_id").cast("long").alias("vec_id"),
+        F.col("media_embedding").alias("embedding"),
+    )
+    q = emb.where(F.col("vec_id") < 10)
+    return brute_force_topk(emb, q, k=5).select(
+        F.col("qid").cast("long").alias("qid"),
+        F.col("nid").cast("long").alias("nid"),
+        "rank",
+        "cos_r",
+    )
+
+
+def _sql_sim_media_topk() -> str:
+    def dim(j: int) -> str:
+        s, byte = divmod(j, 6)
+        h = (
+            f"CAST(('0x' || substr(md5(concat('{s}:', "
+            f"substring(hp, (i - 1) * 128 + 1, 128))), 1, 12)) AS BIGINT)"
+        )
+        return (
+            f"(list_sum([({h} >> {8 * byte}) & 255"
+            f" for i in generate_series(1, n)]) - 127.5 * n) / n"
+        )
+
+    vec = "[" + ",\n      ".join(dim(j) for j in range(16)) + "]"
+    cos_qn = _duck_cos("q.v", "n.v")
+    return f"""
+WITH e AS (
+  SELECT CAST(doc_id AS BIGINT) AS vec_id, {vec} AS v
+  FROM (SELECT doc_id, hex(encode(text)) AS hp,
+               greatest(CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT), 1)
+                 AS n
+        FROM documents)
+)
+SELECT qid, nid, CAST(rank AS BIGINT) AS rank, cos_r FROM (
+  SELECT q.vec_id AS qid, n.vec_id AS nid, round({cos_qn}, 4) AS cos_r,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {cos_qn} DESC, n.vec_id ASC) AS rank
+  FROM e q JOIN e n ON q.vec_id < 10 AND q.vec_id <> n.vec_id
+) WHERE rank <= 5
+"""
+
+
 _DUCK_SPAN_CANON = (
     "concat_ws(chr(31), kind, text, coalesce(media_ref, ''), "
     "CAST(\"offset\" AS VARCHAR))"
@@ -4332,4 +4384,5 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "curate_semantic": (q_curate_semantic, _sql_curate_semantic()),
     "dedup_spans_exact": (q_dedup_spans_exact, _sql_dedup_spans_exact()),
     "dedup_spans_minhash": (q_dedup_spans_minhash, _sql_dedup_spans_minhash()),
+    "sim_media_topk": (q_sim_media_topk, _sql_sim_media_topk()),
 }

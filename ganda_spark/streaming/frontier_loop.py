@@ -65,6 +65,7 @@ class CrawlDriver:
         checkpoint_mode: str = "full",
         compact_every: int = 8,
         trap_guard: dict | None = None,
+        content_dedup: bool = False,
     ):
         """discover: results DataFrame → new frontier rows
         (seq, url, host, priority, context) — e.g. extract_urls over span
@@ -130,7 +131,25 @@ class CrawlDriver:
         generation's discovered URLs — not on every generation's eligible
         set: a URL is judged once, the cheapest place to stop calendar
         loops / param explosions from ever occupying frontier rows.
-        Trapped-row counts ride the generation metrics (trap_dropped)."""
+        Trapped-row counts ride the generation metrics (trap_dropped).
+
+        content_dedup: MIRROR DETECTION — the web serves the same page
+        under many URLs (mirrors, CDNs, session-id aliases that survive
+        canonicalization), and a training-data crawl wants each page
+        ONCE. When enabled, each generation hashes its result bodies
+        (md5, a projection over the persisted fetch output) and drops
+        rows whose hash (a) already appeared this generation (keeper =
+        lowest seq) or (b) lives in the accumulated seen_content table —
+        the same anti-join shape as the URL seen set, but keyed on the
+        16-byte content hash, so the body columns never shuffle. Deduped
+        results feed discover() (a mirror's links are the original's —
+        re-extracting them is pure waste) and the committed results
+        table; the URL-level seen set is unchanged (the mirror URL is
+        still seen — never refetched). State checkpoints like seen:
+        full-mode snapshots carry seen_content, delta commits
+        content_adds; resume reconstructs it (a checkpoint written
+        before the flag existed resumes with an empty content table).
+        Metrics gain mirrors_dropped."""
         self.spark = spark
         self.cfg = cfg
         self.store = CheckpointStore(checkpoint_dir)
@@ -147,6 +166,15 @@ class CrawlDriver:
         self.checkpoint_mode = checkpoint_mode
         self.compact_every = max(compact_every, 1)
         self.trap_guard = trap_guard
+        if content_dedup and cfg.response_body == "discard":
+            # discard mode closes bodies unread — every page would hash
+            # equal and the whole crawl would collapse to one "page"
+            raise ValueError(
+                "content_dedup requires fetched bodies; response_body='discard' "
+                "hashes every page identically"
+            )
+        self.content_dedup = content_dedup
+        self._seen_content: DataFrame | None = None
         self._bloom = None  # lazily built/grown prefilter (bloom OR cuckoo)
         # driver-side memo: table -> latest generation holding a FULL
         # snapshot of it. Updated at every full commit and on resume, so
@@ -224,11 +252,23 @@ class CrawlDriver:
         """(next_gen, frontier, seen) — from the latest committed snapshot,
         or generation 0 with the seed frontier."""
         snap = self.store.latest()
+        if self.content_dedup:
+            self._seen_content = self.spark.createDataFrame(
+                [], "content_hash string"
+            )
         if snap is None:
             empty_seen = self.spark.createDataFrame([], "url string")
             return 0, _with_retry_cols(seed), empty_seen
         frontier = self._read_frontier(snap.generation)
         seen = self._read_seen(snap.generation)
+        if self.content_dedup:
+            try:
+                self._seen_content = self._read_table(
+                    snap.generation, "seen_content", "content_adds", None
+                )
+            except ValueError:
+                # checkpoints predate the flag — start content state empty
+                pass
         if self.seen_strategy == "hybrid":
             # resume: rebuild the bloom ONCE from the committed seen table
             # (treeAggregate — sqrt(P) driver ingress, operators/seen.py)
@@ -334,6 +374,38 @@ class CrawlDriver:
         # fetcher (VERDICT r1 #4 / ADVICE r1)
         fetched = self.fetcher(placed, cfg).persist()
         results, errors = split_results(fetched)
+        results_all = results
+        newly_content = None
+        if self.content_dedup:
+            # mirror detection: one md5 projection over the persisted
+            # fetch output, a within-generation keeper window (budget-
+            # sized partitions keyed by the 16-byte hash — body columns
+            # never shuffle beyond this generation's results), and the
+            # same anti-join shape as the URL seen set against the
+            # accumulated content table
+            from pyspark.sql import Window
+
+            wch = Window.partitionBy("_chash").orderBy("seq")
+            results = (
+                results.withColumn(
+                    "_chash",
+                    F.md5(F.coalesce(F.col("body"), F.lit("")).cast("binary")),
+                )
+                .withColumn("_crk", F.row_number().over(wch))
+                .where(F.col("_crk") == 1)
+                .drop("_crk")
+                .join(
+                    self._seen_content.select(
+                        F.col("content_hash").alias("_chash")
+                    ),
+                    "_chash",
+                    "left_anti",
+                )
+            )
+            newly_content = results.select(
+                F.col("_chash").alias("content_hash")
+            )
+            results = results.drop("_chash")
 
         # F4: exhausted rows re-enter with attempt+1 and a backoff horizon
         redeliver = (
@@ -368,8 +440,13 @@ class CrawlDriver:
         # released rows passed the anti-join, so new ∩ seen = ∅ by
         # construction and the union needs no re-shuffle of 10^10 old rows.
         perma_failed = errors.where(F.col("attempt") + 1 > self.max_redelivery)
+        # URL-level seen uses ALL fetched results — a mirror's URL is
+        # still seen (fetched once, never again) even though its content
+        # row was dropped
         newly_seen = (
-            results.select("url").unionByName(perma_failed.select("url")).distinct()
+            results_all.select("url")
+            .unionByName(perma_failed.select("url"))
+            .distinct()
         )
         next_seen = seen.unionByName(newly_seen)
 
@@ -399,6 +476,9 @@ class CrawlDriver:
             "results": n_results,
             "errors": errors.count(),
         }
+        if self.content_dedup:
+            # cached-scan counts over the persisted fetch output
+            metrics["mirrors_dropped"] = results_all.count() - n_results
         if self.trap_guard is not None:
             metrics["trap_dropped"] = (
                 trapped_fallback.count() if trapped_fallback is not None else 0
@@ -426,6 +506,10 @@ class CrawlDriver:
                 "frontier": next_frontier,
                 "seen": next_seen,
             }
+            if self.content_dedup:
+                tables["seen_content"] = self._seen_content.unionByName(
+                    newly_content
+                )
         else:
             # delta mode: only what changed this generation — budget-sized
             # writes instead of a full-frontier + full-seen rewrite
@@ -436,12 +520,30 @@ class CrawlDriver:
                 "frontier_removes": released.select("seq", "url"),
                 "seen_adds": newly_seen,
             }
+            if self.content_dedup:
+                tables["content_adds"] = newly_content
         self.store.commit(gen, tables, metrics)
         if full:
             # keep the full-snapshot memo authoritative: reconstruction at
             # this or any later generation must base on THIS snapshot
             self._full_gen["frontier"] = gen
             self._full_gen["seen"] = gen
+            if self.content_dedup:
+                self._full_gen["seen_content"] = gen
+        if self.content_dedup:
+            # read back the committed content table: lineage truncation,
+            # same discipline as frontier/seen
+            try:
+                self._seen_content = self._read_table(
+                    gen, "seen_content", "content_adds", None
+                )
+            except ValueError:
+                # delta commits on top of a pre-flag checkpoint: no full
+                # seen_content base yet — carry the union until the next
+                # compaction writes one
+                self._seen_content = self._seen_content.unionByName(
+                    newly_content
+                )
         # read back the committed state: truncates lineage, keeps plans flat
         # (delta mode: bounded reconstruction — ≤ compact_every unions + one
         # broadcast anti-join, see _read_table)

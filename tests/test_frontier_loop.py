@@ -535,3 +535,91 @@ def test_trap_guard_filters_seed(spark, ckpt):
     store = CheckpointStore(ckpt)
     seen = store.read(spark, store.latest().generation, "seen")
     assert [r.url for r in seen.collect()] == ["http://h.test/ok"]
+
+
+def _mirror_seed(spark, pages=10, variants=3):
+    """pages×variants URLs where every variant of a page serves the same
+    body (the custom fetcher below keys the body on the page id)."""
+    rows = [
+        (p * variants + v,
+         f"http://host-{p % 3}.test/page/{p}/v/{v}",
+         f"host-{p % 3}.test", 0, "")
+        for p in range(pages)
+        for v in range(variants)
+    ]
+    return spark.createDataFrame(
+        rows, "seq long, url string, host string, priority int, context string"
+    )
+
+
+def _mirror_fetcher(df, cfg):
+    from ganda_spark.operators.fetch import mock_fetch_udf
+
+    return mock_fetch_udf(df, cfg).withColumn(
+        "body", F.concat(F.lit("PAGE-"), F.regexp_extract("url", r"/page/(\d+)/", 1))
+    )
+
+
+@pytest.mark.parametrize("mode", ["full", "delta"])
+def test_content_dedup_drops_mirrors(spark, ckpt, mode):
+    """Mirror detection: 10 pages served under 3 URLs each — exactly one
+    result row per page survives, mirrors_dropped accounts for the rest,
+    and every URL (mirror or not) still enters the seen set (fetched
+    once, never refetched)."""
+    cfg = EngineConfig(retries=1, request_workers=4, per_host_budget=1000)
+    driver = CrawlDriver(
+        spark, cfg, ckpt, fetcher=_mirror_fetcher, content_dedup=True,
+        checkpoint_mode=mode, compact_every=2,
+    )
+    metrics = driver.run(_mirror_seed(spark), max_generations=5)
+    total_results = sum(m["results"] for m in metrics)
+    total_mirrors = sum(m["mirrors_dropped"] for m in metrics)
+    assert total_results == 10
+    assert total_mirrors == 20
+    store = CheckpointStore(ckpt)
+    last = store.latest()
+    seen = store.read(spark, last.generation, "seen")
+    assert seen.count() == 30  # every URL seen exactly once
+    # committed results carry 10 distinct bodies, one per page
+    all_results = [
+        store.read(spark, g, "results") for g in store.committed_generations()
+    ]
+    from functools import reduce
+
+    union = reduce(lambda a, b: a.unionByName(b), all_results)
+    assert union.count() == 10
+    assert union.select("body").distinct().count() == 10
+
+
+def test_content_dedup_survives_resume(spark, ckpt):
+    """Kill after generation 0, resume: pages fetched before the kill are
+    recognized as mirrors AFTER it (the content table checkpoints and
+    reconstructs like seen)."""
+    cfg = EngineConfig(retries=1, request_workers=4, per_host_budget=1000)
+    seed = _mirror_seed(spark, pages=6, variants=2)
+    d1 = CrawlDriver(
+        spark, cfg, ckpt, fetcher=_mirror_fetcher, content_dedup=True,
+        global_budget=8,
+    )
+    gen, frontier, seen = d1.load_state(seed)
+    d1.run_generation(gen, frontier, seen)  # then "crash"
+    d2 = CrawlDriver(
+        spark, cfg, ckpt, fetcher=_mirror_fetcher, content_dedup=True,
+        global_budget=8,
+    )
+    metrics = d2.run(seed, max_generations=5)
+    store = CheckpointStore(ckpt)
+    all_results = [
+        store.read(spark, g, "results") for g in store.committed_generations()
+    ]
+    from functools import reduce
+
+    union = reduce(lambda a, b: a.unionByName(b), all_results)
+    assert union.count() == 6  # one per page across the kill boundary
+    assert union.select("body").distinct().count() == 6
+
+
+def test_content_dedup_rejects_discard_mode(spark, ckpt):
+    cfg = EngineConfig(retries=1, request_workers=4, response_body="discard")
+    with pytest.raises(ValueError, match="content_dedup"):
+        CrawlDriver(spark, cfg, ckpt, content_dedup=True)
