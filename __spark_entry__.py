@@ -4114,6 +4114,79 @@ SELECT doc_id, cluster_id, n_members, text_len FROM ranked WHERE rk = 1
 """
 
 
+def q_crawl_adaptive_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Health-adaptive politeness end-to-end: last generation's fetch
+    outcomes → per-host health rollup → adaptive_host_budgets (OK-rate-
+    proportional, latency-halved, floor min_budget) → F9 priority pop
+    under those budgets. The budget table is host-count sized (broadcast
+    by the pop join); the frontier sees exactly the one pop shuffle —
+    same composition shape as crawl_tiered_pop with the rank source
+    swapped from PageRank to fetch health."""
+    from ganda_spark.operators.politeness import adaptive_host_budgets
+
+    frontier = seed_frontier(spark, sf_dir)
+    fetched = mock_fetch_udf(
+        frontier, EngineConfig(retries=1, request_workers=16)
+    )
+    health = (
+        fetched.groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.sum((F.col("status") == 200).cast("long")).alias("n_ok"),
+            F.sum("latency_ms").cast("long").alias("sum_latency_ms"),
+        )
+        .select(
+            "host",
+            F.expr("n_ok * 10000 DIV n_urls").cast("long").alias("ok_bp"),
+            F.expr("sum_latency_ms DIV n_urls").cast("long").alias("mean_latency_ms"),
+        )
+    )
+    budgets = adaptive_host_budgets(
+        health, base_budget=6, min_budget=1, slow_ms=220
+    )
+    released, _ = pop_batch(
+        frontier, EngineConfig(per_host_budget=1), host_budgets=budgets
+    )
+    return (
+        released.groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_released"))
+        .join(F.broadcast(budgets), "host")
+        .join(F.broadcast(health.select("host", "ok_bp")), "host")
+        .select("host", "ok_bp", "budget", "n_released")
+    )
+
+
+def _sql_crawl_adaptive_pop() -> str:
+    return f"""
+WITH {_DUCK_FRONTIER}, {_fetched_cte(retries=1)},
+health AS (
+  SELECT host,
+         CAST(sum(CASE WHEN status = 200 THEN 1 ELSE 0 END) * 10000
+              // count(*) AS BIGINT) AS ok_bp,
+         CAST(sum(latency_ms) // count(*) AS BIGINT) AS mean_latency_ms
+  FROM fetched GROUP BY host
+),
+budgets AS (
+  SELECT host, ok_bp,
+         greatest(1, CASE WHEN mean_latency_ms > 220
+                          THEN (6 * ok_bp // 10000) // 2
+                          ELSE 6 * ok_bp // 10000 END) AS budget
+  FROM health
+),
+released AS (
+  SELECT f.host, b.budget, b.ok_bp FROM (
+    SELECT *, row_number() OVER (PARTITION BY host
+                                 ORDER BY priority, seq) AS rk
+    FROM frontier
+  ) f JOIN budgets b ON f.host = b.host
+  WHERE f.rk <= b.budget
+)
+SELECT host, ok_bp, CAST(budget AS BIGINT) AS budget,
+       CAST(count(*) AS BIGINT) AS n_released
+FROM released GROUP BY host, ok_bp, budget
+"""
+
+
 def q_sim_media_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity SEARCH over a media column: embed_media's chunk-hash
     embeddings feed the unchanged brute_force_topk — nearest-payload
@@ -4385,4 +4458,5 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dedup_spans_exact": (q_dedup_spans_exact, _sql_dedup_spans_exact()),
     "dedup_spans_minhash": (q_dedup_spans_minhash, _sql_dedup_spans_minhash()),
     "sim_media_topk": (q_sim_media_topk, _sql_sim_media_topk()),
+    "crawl_adaptive_pop": (q_crawl_adaptive_pop, _sql_crawl_adaptive_pop()),
 }

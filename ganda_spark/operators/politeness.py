@@ -159,3 +159,42 @@ def robots_gate(frontier: DataFrame, robots: DataFrame) -> tuple[DataFrame, Data
     allowed = tagged.where(~F.col("_blocked")).drop("_blocked")
     blocked = tagged.where(F.col("_blocked")).drop("_blocked")
     return allowed, blocked
+
+
+def adaptive_host_budgets(
+    health: DataFrame,
+    base_budget: int = 6,
+    min_budget: int = 1,
+    slow_ms: int | None = None,
+) -> DataFrame:
+    """Health-driven per-host politeness (the production crawler's
+    feedback loop): hosts that answered cleanly keep the full budget,
+    failing hosts shrink proportionally to their OK rate, and slow hosts
+    halve — bounded below by min_budget so a recovering host can
+    re-prove itself instead of starving forever.
+
+        budget = greatest(min_budget,
+                          (base·ok_bp DIV 10⁴) [DIV 2 if mean_latency >
+                          slow_ms])
+
+    Integer arithmetic throughout (engine-reproducible). Input is the
+    crawl_host_health rollup shape (host, ok_bp, mean_latency_ms);
+    output (host, budget) feeds pop_batch's host_budgets — host-count
+    sized, broadcast by the pop join. Compose per generation: last
+    generation's fetch outcomes → health → budgets → this generation's
+    pop."""
+    if min_budget < 1:
+        raise ValueError(f"min_budget must be >= 1, got {min_budget}")
+    if base_budget < min_budget:
+        raise ValueError(
+            f"base_budget {base_budget} must be >= min_budget {min_budget}"
+        )
+    b = F.expr(f"{base_budget} * ok_bp DIV 10000")
+    if slow_ms is not None:
+        b = F.when(F.col("mean_latency_ms") > slow_ms, F.expr(
+            f"({base_budget} * ok_bp DIV 10000) DIV 2"
+        )).otherwise(b)
+    return health.select(
+        "host",
+        F.greatest(F.lit(min_budget), b).cast("long").alias("budget"),
+    )

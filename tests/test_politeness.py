@@ -208,3 +208,39 @@ def test_recrawl_schedule_backoff_and_clamp(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_adaptive_host_budgets_rule(spark):
+    """Hand-computed: base 6, floor 1, slow 200 ms — a clean fast host
+    keeps 6, a 50%-OK host gets 3, a clean-but-slow host halves to 3, a
+    dead host floors at 1 (never starves)."""
+    import pytest
+
+    from ganda_spark.operators.politeness import adaptive_host_budgets
+
+    health = spark.createDataFrame(
+        [
+            ("fast.test", 10_000, 50),
+            ("half.test", 5_000, 50),
+            ("slow.test", 10_000, 500),
+            ("dead.test", 0, 50),
+        ],
+        "host string, ok_bp long, mean_latency_ms long",
+    )
+    got = {
+        r.host: r.budget
+        for r in adaptive_host_budgets(
+            health, base_budget=6, min_budget=1, slow_ms=200
+        ).collect()
+    }
+    assert got == {"fast.test": 6, "half.test": 3, "slow.test": 3, "dead.test": 1}
+    # no latency rule → slow host keeps its OK-rate budget
+    got2 = {
+        r.host: r.budget
+        for r in adaptive_host_budgets(health, base_budget=6).collect()
+    }
+    assert got2["slow.test"] == 6
+    with pytest.raises(ValueError, match="min_budget"):
+        adaptive_host_budgets(health, min_budget=0)
+    with pytest.raises(ValueError, match="base_budget"):
+        adaptive_host_budgets(health, base_budget=1, min_budget=2)
