@@ -4187,6 +4187,71 @@ FROM released GROUP BY host, ok_bp, budget
 """
 
 
+def q_dedup_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-crawl ingest for span documents: the corpus's span fingerprints
+    are written once (16 bytes/doc); an incoming batch joins its OWN
+    fingerprints against them — broadcast batch, corpus never shuffles,
+    no corpus self-join (the incremental_lsh_pairs discipline applied to
+    the exact span identity). Batch = every 3rd doc re-crawled under a
+    'new-*' id, half of them with the image span dropped (changed
+    content) — unchanged re-crawls resolve dup_of to the corpus doc,
+    changed ones come back is_dup=false."""
+    from ganda_spark.sources.spans import span_fingerprint
+
+    docs = synth_span_docs(spark, sf_dir)
+    num = F.regexp_extract(F.col("doc_id"), r"(\d+)", 1).cast("long")
+    batch = docs.where(num % 3 == 0).select(
+        F.concat(F.lit("new-"), num.cast("string")).alias("doc_id"),
+        F.when(
+            num % 6 == 0,
+            F.filter(F.col("spans"), lambda s: s["kind"] != "image"),
+        ).otherwise(F.col("spans")).alias("spans"),
+    )
+    corpus_fp = (
+        span_fingerprint(docs)
+        .groupBy("span_fp")
+        .agg(F.min("doc_id").alias("_corpus_id"))
+    )
+    batch_fp = span_fingerprint(batch).select("doc_id", "span_fp")
+    out = F.broadcast(batch_fp).join(corpus_fp, "span_fp", "left")
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("_corpus_id"), F.lit("-")).alias("dup_of"),
+        F.col("_corpus_id").isNotNull().alias("is_dup"),
+    )
+
+
+def _sql_dedup_spans_incremental() -> str:
+    canon = _DUCK_SPAN_CANON
+    return f"""
+WITH rows AS (SELECT * FROM ({_SQL_T10}
+)),
+batchrows AS (
+  SELECT concat('new-', substring(doc_id, 5)) AS doc_id, kind, text,
+         media_ref, "offset"
+  FROM rows
+  WHERE CAST(substring(doc_id, 5) AS BIGINT) % 3 = 0
+    AND NOT (CAST(substring(doc_id, 5) AS BIGINT) % 6 = 0 AND kind = 'image')
+),
+cfp AS (
+  SELECT md5(array_to_string(list({canon} ORDER BY "offset"), chr(30)))
+           AS span_fp,
+         min(doc_id) AS corpus_id
+  FROM rows GROUP BY doc_id
+),
+cmin AS (SELECT span_fp, min(corpus_id) AS corpus_id FROM cfp GROUP BY span_fp),
+bfp AS (
+  SELECT doc_id,
+         md5(array_to_string(list({canon} ORDER BY "offset"), chr(30)))
+           AS span_fp
+  FROM batchrows GROUP BY doc_id
+)
+SELECT b.doc_id, coalesce(c.corpus_id, '-') AS dup_of,
+       c.corpus_id IS NOT NULL AS is_dup
+FROM bfp b LEFT JOIN cmin c USING (span_fp)
+"""
+
+
 def q_sim_media_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity SEARCH over a media column: embed_media's chunk-hash
     embeddings feed the unchanged brute_force_topk — nearest-payload
@@ -4459,4 +4524,5 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dedup_spans_minhash": (q_dedup_spans_minhash, _sql_dedup_spans_minhash()),
     "sim_media_topk": (q_sim_media_topk, _sql_sim_media_topk()),
     "crawl_adaptive_pop": (q_crawl_adaptive_pop, _sql_crawl_adaptive_pop()),
+    "dedup_spans_incremental": (q_dedup_spans_incremental, _sql_dedup_spans_incremental()),
 }
