@@ -3796,7 +3796,7 @@ def q_dedup_semantic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     Centroids are the deterministic first-16-by-id picks passed in
     explicitly (the production shape: a prebuilt centroid table)."""
     from ganda_spark.operators.media import embed_media
-    from ganda_spark.operators.similarity import semantic_dedup
+    from ganda_spark.operators.similarity import semantic_dedup_capped
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     bt = to_binary_table(docs)
@@ -3813,7 +3813,13 @@ def q_dedup_semantic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cent = corpus.where(F.col("vec_id") < 16)
-    out = semantic_dedup(corpus, threshold_bp=9990, centroids=cent)
+    # GUARDED default (VERDICT r5 #1): a boilerplate-heavy media corpus
+    # hitting this entry point must never pay the unguarded Σ|list|² pair
+    # scan; max_list=4096 never triggers at oracle scale (verdicts equal
+    # the uncapped operator) but bounds degenerate blobs in production
+    out = semantic_dedup_capped(
+        corpus, threshold_bp=9990, centroids=cent, max_list=4096
+    )
     return out.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("list_id").cast("long").alias("list_id"),
@@ -4049,12 +4055,16 @@ def q_curate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
         keep_best_per_cluster,
     )
-    from ganda_spark.operators.similarity import semantic_dedup
+    from ganda_spark.operators.similarity import semantic_dedup_capped
 
     corpus = _dup_corpus(spark, sf_dir)
     emb = embed_text(corpus).select(F.col("doc_id").alias("vec_id"), "embedding")
-    sem = semantic_dedup(
-        emb, n_centroids=16, iters=1, threshold_bp=9990, dim=8
+    # GUARDED default (VERDICT r5 #1): the user-facing curation entry
+    # composes the capped operator so boilerplate-heavy corpora never pay
+    # the unguarded pair scan; max_list=4096 never triggers at oracle
+    # scale, so verdicts (and the DuckDB mirror) are unchanged
+    sem = semantic_dedup_capped(
+        emb, n_centroids=16, iters=1, threshold_bp=9990, dim=8, max_list=4096
     )
     edges = sem.where(F.col("is_semdup")).select(
         F.col("vec_id").alias("id_a"), F.col("dup_of").alias("id_b")
@@ -4305,8 +4315,9 @@ SELECT qid, nid, CAST(rank AS BIGINT) AS rank, cos_r FROM (
 
 
 _DUCK_SPAN_CANON = (
-    "concat_ws(chr(31), kind, text, coalesce(media_ref, ''), "
-    "CAST(\"offset\" AS VARCHAR))"
+    "concat_ws(chr(31), coalesce(kind, ''), coalesce(text, ''), "
+    "coalesce(media_ref, ''), "
+    "coalesce(CAST(\"offset\" AS VARCHAR), ''))"
 )
 
 

@@ -157,6 +157,19 @@ def pagerank(
             )
         if i % spool_every == 0 and i < iterations:
             if spool is None:
+                if spool_dir is None and not spark.sparkContext.master.startswith(
+                    "local"
+                ):
+                    # mkdtemp is a DRIVER-local path: on a multi-node
+                    # cluster each executor would write its partitions
+                    # under its own local disk and the read-back below
+                    # would miss them — require a shared location instead
+                    raise ValueError(
+                        "pagerank: spool_dir is required on a non-local "
+                        "master (pass a shared path, e.g. under the "
+                        "checkpoint/warehouse dir); the tempfile default "
+                        "is driver-local"
+                    )
                 spool = spool_dir or tempfile.mkdtemp(prefix="ganda-pr-")
             path = f"{spool}/ranks_{i}"
             ranks.write.mode("overwrite").parquet(path)

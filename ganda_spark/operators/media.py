@@ -300,13 +300,16 @@ def embed_media(
     Adds: media_embedding array<double> and media_embedding_bp
     array<bigint> (exact integer basis points: sum·10⁴ div n − 1 275 000,
     the cross-engine-stable oracle form). Empty payloads embed as the
-    single empty-block hash (greatest(n,1) guards the sequence)."""
+    single empty-block hash (greatest(n,1) guards the sequence); NULL
+    payloads are coalesced to empty first so they take the same path
+    rather than poisoning every dimension NULL (ADVICE r5)."""
     n_salts = (dims + 5) // 6  # 6 usable bytes per 48-bit hash
     hexlen = 2 * chunk_bytes
-    out = df.withColumn("_mhx", F.expr(f"hex({payload_col})")).withColumn(
+    pay = f"coalesce({payload_col}, CAST('' AS BINARY))"
+    out = df.withColumn("_mhx", F.expr(f"hex({pay})")).withColumn(
         "_mn",
         F.expr(
-            f"greatest(CAST(ceil(length({payload_col}) / {chunk_bytes}.0) AS INT), 1)"
+            f"greatest(CAST(ceil(length({pay}) / {chunk_bytes}.0) AS INT), 1)"
         ),
     )
     for s in range(n_salts):

@@ -155,7 +155,14 @@ def ivf_assign(
     cid, and full-struct ties pin the same cid by construction.
 
     nprobe>1 — the QUERY side, orders of magnitude smaller — keeps the
-    per-vector top-nprobe window (never a global window)."""
+    per-vector top-nprobe window (never a global window).
+
+    CONTRACT (nprobe=1 branch, asserted below): centroid ids must be
+    NUMERIC (tie-breaking negates the id inside the max_by struct) and
+    vector ids unique (the aggregate F.first-collapses duplicate id_col
+    rows). The nprobe>1 window branch orders by _cid ASC directly and
+    works for any orderable id type — callers with string centroid ids
+    must map them to a numeric surrogate first (ADVICE r5)."""
     from pyspark.sql import Window
 
     c = F.broadcast(
@@ -181,6 +188,13 @@ def ivf_assign(
         .drop("_cv", "_cn")
     )
     if nprobe == 1:
+        cid_type = dict(centroids.dtypes)[id_col]
+        if cid_type in ("string", "binary", "boolean"):
+            raise TypeError(
+                f"ivf_assign nprobe=1 requires a numeric centroid id "
+                f"(got {id_col}: {cid_type}); map to a numeric surrogate "
+                f"or use nprobe>1"
+            )
         others = [col for col in emb.columns if col != id_col]
         return scored.groupBy(id_col).agg(
             *[F.first(col).alias(col) for col in others],

@@ -168,10 +168,14 @@ def span_canon(s) -> F.Column:
     on kind, text, media_ref, order), as a comparable string."""
     return F.concat_ws(
         "\x1f",
-        s["kind"],
+        # every field coalesced: concat_ws SKIPS null arguments rather
+        # than rendering an empty field, so an un-coalesced NULL kind or
+        # offset would drop a separator and let a 3-field string collide
+        # with a different span's 4-field form (ADVICE r5)
+        F.coalesce(s["kind"], F.lit("")),
         F.coalesce(s["text"], F.lit("")),
         F.coalesce(s["media_ref"], F.lit("")),
-        s["offset"].cast("string"),
+        F.coalesce(s["offset"].cast("string"), F.lit("")),
     )
 
 

@@ -540,9 +540,19 @@ class CrawlDriver:
             except ValueError:
                 # delta commits on top of a pre-flag checkpoint: no full
                 # seen_content base yet — carry the union until the next
-                # compaction writes one
+                # compaction writes one. LOCALIZE the delta first: its
+                # lineage roots at this generation's `fetched`, which is
+                # unpersisted below, so carrying the live plan would
+                # re-execute the nondeterministic fetch stage on every
+                # later anti-join/commit (duplicate live requests, hash
+                # drift — the exact failure the fetch persist documents).
+                # The delta is released-count 32-char hashes: bounded,
+                # driver-safe to collect.
+                localized = self.spark.createDataFrame(
+                    newly_content.collect(), schema=newly_content.schema
+                )
                 self._seen_content = self._seen_content.unionByName(
-                    newly_content
+                    localized
                 )
         # read back the committed state: truncates lineage, keeps plans flat
         # (delta mode: bounded reconstruction — ≤ compact_every unions + one
