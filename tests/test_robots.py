@@ -161,3 +161,153 @@ def test_sitemap_links_directives(spark):
         "host string, robots_txt string",
     )
     assert sitemap_links(none).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# RFC 9309 parser + gate (r6)
+# ---------------------------------------------------------------------------
+
+from ganda_spark.operators.robots import parse_robots_rfc, rfc_robots_gate
+
+
+def _gate(spark, robots_pairs, url_pairs, agent="ganda-spark"):
+    rdf = spark.createDataFrame(robots_pairs, "host string, robots_txt string")
+    parsed = parse_robots_rfc(rdf, agent=agent)
+    fr = spark.createDataFrame(url_pairs, "host string, url string")
+    allowed, blocked = rfc_robots_gate(fr, parsed)
+    return (
+        {r.url for r in allowed.collect()},
+        {r.url for r in blocked.collect()},
+    )
+
+
+def test_rfc_overblock_allow_escape(spark):
+    """The VERDICT-pinned over-block case: Disallow: / + Allow: /public
+    must allow /public/* and block the rest (longest match wins)."""
+    robots = "User-agent: *\nDisallow: /\nAllow: /public\n"
+    allowed, blocked = _gate(
+        spark,
+        [("h", robots)],
+        [
+            ("h", "http://h/public/doc"),
+            ("h", "http://h/publicity"),  # prefix match, no path-segment rule
+            ("h", "http://h/"),
+            ("h", "http://h/private"),
+        ],
+    )
+    assert allowed == {"http://h/public/doc", "http://h/publicity"}
+    assert blocked == {"http://h/", "http://h/private"}
+
+
+def test_rfc_tie_breaks_to_allow(spark):
+    """Equal-length Allow and Disallow patterns: least-restrictive wins."""
+    robots = "User-agent: *\nDisallow: /page\nAllow: /page\n"
+    allowed, blocked = _gate(spark, [("h", robots)], [("h", "http://h/page")])
+    assert allowed == {"http://h/page"}
+    assert blocked == set()
+
+
+def test_rfc_wildcards_and_anchor(spark):
+    robots = "User-agent: *\nDisallow: /*.php$\nDisallow: /fish*bar\n"
+    allowed, blocked = _gate(
+        spark,
+        [("h", robots)],
+        [
+            ("h", "http://h/x.php"),          # anchored match
+            ("h", "http://h/x.php?q=1"),      # query defeats the $ anchor
+            ("h", "http://h/x.phpx"),         # anchored: no match
+            ("h", "http://h/fishyfoobar"),    # * spans arbitrary text
+            ("h", "http://h/plain"),
+        ],
+    )
+    assert blocked == {"http://h/x.php", "http://h/fishyfoobar"}
+    assert allowed == {"http://h/x.php?q=1", "http://h/x.phpx", "http://h/plain"}
+
+
+def test_rfc_specific_agent_wins_over_star(spark):
+    """Exact product-token group is chosen; the * group is then ignored
+    entirely (no rule mixing across groups)."""
+    robots = (
+        "User-agent: googlebot\nUser-agent: ganda-spark\n"
+        "Disallow: /private*\nAllow: /private/pub$\nCrawl-delay: 1.5\n\n"
+        "User-agent: *\nDisallow: /\n"
+    )
+    allowed, blocked = _gate(
+        spark,
+        [("h", robots)],
+        [
+            ("h", "http://h/private/pub"),
+            ("h", "http://h/private/pubx"),
+            ("h", "http://h/open"),  # * would block; chosen group allows
+        ],
+    )
+    assert allowed == {"http://h/private/pub", "http://h/open"}
+    assert blocked == {"http://h/private/pubx"}
+    # crawl-delay comes from the CHOSEN group
+    rdf = spark.createDataFrame([("h", robots)], "host string, robots_txt string")
+    row = parse_robots_rfc(rdf).collect()[0]
+    assert row.crawl_delay_ms == 1500
+
+
+def test_rfc_case_insensitive_token_and_merged_groups(spark):
+    """UA match is case-insensitive; two groups with the same token merge."""
+    robots = (
+        "User-agent: GANDA-SPARK\nDisallow: /a\n\n"
+        "user-agent: Ganda-Spark\nDisallow: /b\n"
+    )
+    allowed, blocked = _gate(
+        spark,
+        [("h", robots)],
+        [("h", "http://h/a1"), ("h", "http://h/b2"), ("h", "http://h/c")],
+    )
+    assert blocked == {"http://h/a1", "http://h/b2"}
+    assert allowed == {"http://h/c"}
+
+
+def test_rfc_no_robots_and_no_match_allow(spark):
+    robots = "User-agent: *\nDisallow: /x\n"
+    allowed, blocked = _gate(
+        spark,
+        [("h", robots)],
+        [("h", "http://h/y"), ("nobots", "http://nobots/anything")],
+    )
+    assert allowed == {"http://h/y", "http://nobots/anything"}
+    assert blocked == set()
+
+
+def test_rfc_comments_and_empty_rules_ignored(spark):
+    robots = (
+        "# top comment\nUser-agent: * # trailing\n"
+        "Disallow: /secret # why not\nAllow:\nDisallow:\n"
+    )
+    allowed, blocked = _gate(
+        spark, [("h", robots)], [("h", "http://h/secret/x"), ("h", "http://h/ok")]
+    )
+    assert blocked == {"http://h/secret/x"}
+    assert allowed == {"http://h/ok"}
+
+
+def test_rfc_consecutive_ua_lines_share_rules(spark):
+    """RFC 9309: blank lines do NOT end a group — consecutive User-agent
+    lines (even blank-separated) form one group sharing the rules."""
+    robots = "User-agent: ganda-spark\n\nUser-agent: *\nDisallow: /\n"
+    allowed, blocked = _gate(spark, [("h", robots)], [("h", "http://h/any")])
+    assert blocked == {"http://h/any"}
+    # but a group CLOSED by a rule line, left rules-less for our token,
+    # means allow-all: empty Disallow closes the header run
+    robots2 = "User-agent: ganda-spark\nDisallow:\n\nUser-agent: *\nDisallow: /\n"
+    allowed2, blocked2 = _gate(spark, [("h", robots2)], [("h", "http://h/any")])
+    assert allowed2 == {"http://h/any"}
+
+
+def test_rfc_metachar_patterns_stay_literal(spark):
+    """Regex metacharacters in patterns are escaped — '.' must not match
+    any-char, '+' and parens stay literal."""
+    robots = "User-agent: *\nDisallow: /a.b\nDisallow: /c+(d)\n"
+    allowed, blocked = _gate(
+        spark,
+        [("h", robots)],
+        [("h", "http://h/a.b/x"), ("h", "http://h/aXb"), ("h", "http://h/c+(d)e")],
+    )
+    assert blocked == {"http://h/a.b/x", "http://h/c+(d)e"}
+    assert allowed == {"http://h/aXb"}
