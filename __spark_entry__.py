@@ -4686,6 +4686,38 @@ WHERE least(n_words * 100, 10000) // 2 +
 
 
 # ---------------------------------------------------------------------------
+# broadcast-vocab subword tokenizer (r6, VERDICT r5 next #6)
+# ---------------------------------------------------------------------------
+
+
+def q_text_token_counts_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-match wordpiece counts over documents (broadcast
+    one-row vocab, bounded pure-Column fold per word — functions/subword).
+    The oracle re-derives the same greedy segmentation via a recursive
+    CTE over word TYPES, so the two implementations are independent."""
+    from ganda_spark.functions.subword import token_counts_subword
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_counts_subword(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_ws_tokens",
+        "n_subword_tokens",
+    )
+
+
+def _sql_token_counts_subword() -> str:
+    from ganda_spark.functions.subword import duck_subword_ctes
+
+    return f"""
+WITH RECURSIVE {duck_subword_ctes()}
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_ws_tokens,
+       s.n_subword_tokens
+FROM documents d JOIN subword_counts s ON s._swid = d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # F8 RFC 9309 gate (r6, VERDICT r5 missing #2)
 # ---------------------------------------------------------------------------
 
@@ -4798,6 +4830,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "f8_rfc_robots": (
         q_f8_rfc_robots,
         _SQL_F8_RFC.format(frontier=_DUCK_FRONTIER),
+    ),
+    "text_token_counts_subword": (
+        q_text_token_counts_subword,
+        _sql_token_counts_subword(),
     ),
     # --- reference-parity crawl backbone (driver-visible) ---
     "s4_url_tsv_parse": (q_s4_url_tsv_parse, _SQL_S4),
