@@ -1820,31 +1820,55 @@ FROM (
 # --- text analysis -------------------------------------------------------------
 
 
+# non-Latin sample sentences for the script-detection rows (r6): the
+# SAME literals feed the Spark synthesis and the DuckDB mirror
+_LANG_SAMPLES = {
+    5: "Это тестовый текст на русском языке для проверки",  # ru (Cyrillic)
+    6: "这是一个中文测试文档包含许多汉字内容",  # zh (Han, no kana)
+    7: "هذا نص اختبار باللغة العربية للفحص",  # ar (Arabic)
+    4: "これは日本語のテストです 漢字も含む",  # ja (kana outranks han)
+}
+
+
+def _lang_synth_spark(docs: DataFrame) -> DataFrame:
+    t = F.col("text")
+    m = F.col("doc_id") % 8
+    synth = (
+        F.when(m == 3, F.concat(t, F.lit(" 汉字")))  # 2 Han chars in Latin
+        .otherwise(t)
+    )
+    for k, s in _LANG_SAMPLES.items():
+        synth = F.when(m == k, F.lit(s)).otherwise(synth)
+    return docs.withColumn("text", synth)
+
+
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID with script breadth (r6): docs get deterministic
+    non-Latin mutations — Cyrillic/Han/Arabic/Japanese rows must resolve
+    by Unicode-block character counts (kana outranking han for ja), a
+    Latin doc with a couple of Han characters must STAY with the stopword
+    vote (the script threshold), and plain rows exercise the widened
+    7-language stopword tables."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return lang_id(docs).select(
+    return lang_id(_lang_synth_spark(docs)).select(
         F.col("doc_id").cast("long").alias("doc_id"), "lang_guess"
     )
 
 
-_SQL_LANG = """
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-hits AS (
+def _sql_lang() -> str:
+    from ganda_spark.functions.text import duck_lang_id_sql
+
+    sample_cases = " ".join(
+        f"WHEN doc_id % 8 = {k} THEN '{s}'" for k, s in _LANG_SAMPLES.items()
+    )
+    src = f"""(
   SELECT doc_id,
-    len([x for x in words if x IN ('the','a','of','and','to')]) AS h_en,
-    len([x for x in words if x IN ('der','die','das','und','ist')]) AS h_de,
-    len([x for x in words if x IN ('le','la','les','et','est')]) AS h_fr,
-    len([x for x in words if x IN ('el','los','las','y','es')]) AS h_es
-  FROM w
-)
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-  CASE WHEN greatest(h_en,h_de,h_fr,h_es) = 0 THEN 'und'
-       WHEN h_de = greatest(h_en,h_de,h_fr,h_es) THEN 'de'
-       WHEN h_en = greatest(h_en,h_de,h_fr,h_es) THEN 'en'
-       WHEN h_es = greatest(h_en,h_de,h_fr,h_es) THEN 'es'
-       ELSE 'fr' END AS lang_guess
-FROM hits
-"""
+         CASE {sample_cases}
+              WHEN doc_id % 8 = 3 THEN text || ' 汉字'
+              ELSE text END AS text
+  FROM documents
+) lsrc"""
+    return duck_lang_id_sql(src)
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4908,7 +4932,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "sim_lsh_buckets": (q_sim_lsh_buckets, _sql_lsh_buckets()),
     "sim_ann_topk": (q_sim_ann_topk, _sql_ann_topk()),
     "sim_ivf_topk": (q_sim_ivf_topk, _sql_ivf_topk()),
-    "text_lang_id": (q_text_lang_id, _SQL_LANG),
+    "text_lang_id": (q_text_lang_id, _sql_lang()),
     "text_quality": (q_text_quality, _SQL_QUALITY),
     "text_token_counts": (q_text_token_counts, _SQL_TOKENS),
     "text_fingerprint": (q_text_fingerprint, _SQL_FINGERPRINT),
