@@ -268,6 +268,7 @@ def kmeans_centroids(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    wide_dim_limit: int = 256,
 ) -> DataFrame:
     """DataFrame-native Lloyd's iterations for IVF coarse quantization
     (VERDICT r3 #2): seeded by the deterministic first-C-by-id picks, each
@@ -285,28 +286,71 @@ def kmeans_centroids(
 
     Empty lists simply vanish (their centroid attracted no vectors) —
     standard Lloyd's degeneracy, fine for IVF where C ≪ N. Returns
-    (id_col, vec_col) shaped like a centroid table for `ivf_assign`."""
+    (id_col, vec_col) shaped like a centroid table for `ivf_assign`.
+
+    WIDTH CEILING (VERDICT r5 wrong #3): the wide form builds `dim`
+    independent sum aggregates in one groupBy — exact and fast at dim 64,
+    but at production embedding widths (1k-4k) that is a 4k-column
+    aggregate row and a 4k-expression codegen unit. Above
+    `wide_dim_limit` (default 256) the update switches to the TALL form:
+    posexplode to (list_id, pos, val) rows, ONE sum aggregate keyed on
+    (list_id, pos), re-assembled with array_sort — identical integer
+    arithmetic, identical centroids (equivalence is test-pinned), one
+    narrow shuffle of N·dim skinny rows instead of a wide aggregate."""
     cent = emb.where(F.col(id_col) < n_centroids).select(
         F.col(id_col).cast("long").alias(id_col), as_double(F.col(vec_col)).alias(vec_col)
     )
     for _ in range(iters):
         assigned = ivf_assign(emb, cent, id_col, vec_col, nprobe=1)
-        sums = [
-            F.sum(
-                F.round(F.col(vec_col)[d].cast("double") * 10000).cast("long")
-            ).alias(f"_s{d}")
-            for d in range(dim)
-        ]
-        upd = assigned.groupBy("list_id").agg(*sums, F.count("*").alias("_n"))
-        cent = upd.select(
-            F.col("list_id").cast("long").alias(id_col),
-            F.array(
-                *[
-                    (F.expr(f"_s{d} div _n") / F.lit(10000.0)).cast("double")
-                    for d in range(dim)
-                ]
-            ).alias(vec_col),
-        )
+        if dim <= wide_dim_limit:
+            sums = [
+                F.sum(
+                    F.round(F.col(vec_col)[d].cast("double") * 10000).cast("long")
+                ).alias(f"_s{d}")
+                for d in range(dim)
+            ]
+            upd = assigned.groupBy("list_id").agg(*sums, F.count("*").alias("_n"))
+            cent = upd.select(
+                F.col("list_id").cast("long").alias(id_col),
+                F.array(
+                    *[
+                        (F.expr(f"_s{d} div _n") / F.lit(10000.0)).cast("double")
+                        for d in range(dim)
+                    ]
+                ).alias(vec_col),
+            )
+        else:
+            tall = assigned.select(
+                "list_id",
+                F.posexplode(
+                    F.expr(
+                        f"transform({vec_col}, v -> "
+                        "CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT))"
+                    )
+                ).alias("_pos", "_bp"),
+            )
+            upd = tall.groupBy("list_id", "_pos").agg(
+                F.sum("_bp").alias("_s"), F.count(F.lit(1)).alias("_n")
+            )
+            cent = (
+                upd.groupBy("list_id")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("_pos"),
+                                (F.expr("_s div _n") / F.lit(10000.0))
+                                .cast("double")
+                                .alias("_m"),
+                            )
+                        )
+                    ).alias("_pm")
+                )
+                .select(
+                    F.col("list_id").cast("long").alias(id_col),
+                    F.expr("transform(_pm, x -> x._m)").alias(vec_col),
+                )
+            )
     return cent
 
 

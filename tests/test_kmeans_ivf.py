@@ -197,3 +197,21 @@ def test_ivf_assign_corpus_side_is_aggregate_not_window(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" in probe_plan
+
+
+def test_kmeans_tall_update_equals_wide(spark, sf_dir):
+    """The posexplode-sum (tall) centroid update above wide_dim_limit must
+    produce bit-identical centroids to the wide per-dim aggregate form —
+    same integer basis-point arithmetic, different plan shape."""
+    from ganda_spark.operators.similarity import kmeans_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    wide = kmeans_centroids(emb, n_centroids=8, iters=2, dim=64,
+                            wide_dim_limit=256)
+    tall = kmeans_centroids(emb, n_centroids=8, iters=2, dim=64,
+                            wide_dim_limit=0)
+    w = {r.vec_id: r.embedding for r in wide.collect()}
+    t = {r.vec_id: r.embedding for r in tall.collect()}
+    assert set(w) == set(t)
+    for k in w:
+        assert w[k] == t[k], k
