@@ -119,6 +119,14 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict, dict, dict]:
         ("curate_semantic_sec", "curate_semantic"),
         ("dedup_spans_exact_sec", "dedup_spans_exact"),
         ("dedup_spans_minhash_sec", "dedup_spans_minhash"),
+        # r6 additions (same frozen-headline discipline): the body→text
+        # hop, RFC robots, subword counts, script-breadth lang-ID
+        ("text_extract_html_sec", "text_extract_html"),
+        ("text_boilerplate_sec", "text_boilerplate_removal"),
+        ("corpus_clean_pipeline_sec", "corpus_clean_pipeline"),
+        ("f8_rfc_robots_sec", "f8_rfc_robots"),
+        ("text_subword_sec", "text_token_counts_subword"),
+        ("text_lang_id_sec", "text_lang_id"),
     ):
         t0 = time.time()
         _materialize(entry.queries()[qname](spark, sf_dir))
@@ -233,8 +241,50 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict, dict, dict]:
     _materialize(semantic_dedup(corpus, threshold_bp=9990, centroids=cent))
     adversarial["dedup_semantic_degenerate_uncapped"] = round(time.time() - t0, 3)
 
+    # 4d. adversarial media blob through the CURATION path (r6, VERDICT r5
+    # wrong #1 "Done" criterion): 6000 identical payloads — a boilerplate-
+    # heavy media corpus — hit the embed_media → semantic_dedup_capped
+    # composition the dedup_semantic_media entry now defaults to. The blob
+    # list exceeds the composition's max_list=4096, so cost is bounded by
+    # the O(n) code-group fallback AND every copy is still flagged.
+    from ganda_spark.operators.media import embed_media
+
+    blob_pay = spark.range(1, 6001).select(
+        (F.col("id") + 300_000).alias("doc_id"),
+        F.lit(b"\x42" * 512).alias("payload"),
+    )
+    t0 = time.time()
+    memb = embed_media(blob_pay).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("media_embedding").alias("embedding"),
+    )
+    mcent = localized_kmeans_centroids(memb, n_centroids=16, iters=1, dim=64)
+    media_dups = (
+        semantic_dedup_capped(
+            memb, threshold_bp=9990, max_list=4096, centroids=mcent
+        )
+        .where(F.col("is_semdup"))
+        .count()
+    )
+    adversarial["dedup_media_blob_capped"] = round(time.time() - t0, 3)
+    adversarial["media_blob_dups"] = media_dups
+    assert media_dups >= 5999, f"media blob escaped capped dedup: {media_dups}"
+
     frontier.unpersist()
     return timings, stats, adversarial
+
+
+def _calibrate(ms: int = 300) -> int:
+    """Single-thread ops/sec probe (same as scaling mode): records the host
+    CPU capacity the bench window actually saw — co-tenant steal evidence
+    rides in the artifact instead of being inferred after the fact."""
+    end = time.time() + ms / 1000.0
+    n = 0
+    x = 1.0
+    while time.time() < end:
+        x = x * 1.000001 + 1.0
+        n += 1
+    return int(n / (ms / 1000.0))
 
 
 def run_single(cores: int, sf_dir: str) -> dict:
@@ -242,8 +292,12 @@ def run_single(cores: int, sf_dir: str) -> dict:
 
     spark = get_spark("ganda-bench", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
+    probe_before = _calibrate()
     timings, stats, adversarial = _bench_queries(spark, sf_dir)
     total = round(sum(timings.values()), 3)
+    stats["host_ops_before"] = probe_before
+    stats["host_ops_after"] = _calibrate()
+    stats["loadavg_after"] = float(open("/proc/loadavg").read().split()[0])
     return {
         "metric": "ganda-spark headline suite wall time",
         "value": total,
