@@ -1115,31 +1115,28 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_curate() -> str:
-    # lang + quality over the dup corpus, mirroring _SQL_LANG/_SQL_QUALITY
+    # lang (r6 script-breadth mirror, shared generator) + quality over the
+    # dup corpus; quality keeps the pinned 5-word en table
+    from ganda_spark.functions.text import duck_lang_id_sql
+
     return f"""
 WITH {_DUCK_DUP_CORPUS},
-w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM corpus),
+lang AS ({duck_lang_id_sql('corpus')}),
 m AS (
-  SELECT doc_id, text, words, length(text) AS n_chars,
-         len(words) AS n_words,
-         len([x for x in words if x IN ('the','a','of','and','to')]) AS h_en,
-         len([x for x in words if x IN ('der','die','das','und','ist')]) AS h_de,
-         len([x for x in words if x IN ('le','la','les','et','est')]) AS h_fr,
-         len([x for x in words if x IN ('el','los','las','y','es')]) AS h_es
-  FROM w
+  SELECT doc_id, text,
+         len(string_split(text, ' ')) AS n_words,
+         len([x for x in string_split(text, ' ')
+              if x IN ('the','a','of','and','to')]) AS h_en
+  FROM corpus
 ),
 scored AS (
-  SELECT doc_id, text,
-         CAST(n_words AS BIGINT) AS n_words,
-         CASE WHEN greatest(h_en,h_de,h_fr,h_es) = 0 THEN 'und'
-              WHEN h_de = greatest(h_en,h_de,h_fr,h_es) THEN 'de'
-              WHEN h_en = greatest(h_en,h_de,h_fr,h_es) THEN 'en'
-              WHEN h_es = greatest(h_en,h_de,h_fr,h_es) THEN 'es'
-              ELSE 'fr' END AS lang_guess,
-         CAST(least(n_words * 100, 10000) // 2 +
-              least((h_en * 10000 // n_words) * 5, 10000) // 2 AS BIGINT)
+  SELECT m.doc_id, m.text,
+         CAST(m.n_words AS BIGINT) AS n_words,
+         l.lang_guess,
+         CAST(least(m.n_words * 100, 10000) // 2 +
+              least((m.h_en * 10000 // m.n_words) * 5, 10000) // 2 AS BIGINT)
            AS quality_score_bp
-  FROM m
+  FROM m JOIN lang l ON l.doc_id = m.doc_id
 ),
 gated AS (
   SELECT * FROM scored WHERE quality_score_bp >= 5000 AND lang_guess = 'en'

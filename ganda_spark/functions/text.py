@@ -91,44 +91,62 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     LANG_STOPWORDS (7 languages, 12 words each); 'und' when nothing
     scores. Ties break by language name order (alphabetical, ascending —
     deterministic). All pure Column regexp/array ops, shuffle-free."""
-    out = df
-    for name in SCRIPT_RANGES:
-        out = out.withColumn(
-            f"_sc_{name}",
-            F.size(
-                F.regexp_extract_all(
-                    F.col(text_col), F.lit(script_class(name)), 0
-                )
-            ),
-        )
+    # EXPRESSION-TREE DISCIPLINE: every count appears ONCE, inside an
+    # array of (count, priority, lang) structs, and winners are
+    # lexicographic array_max — the argmax-aggregate idiom at the row
+    # level. The naive form (chained whens over per-language columns)
+    # references each count ~8×; CollapseProject inlines the regexp/split
+    # subtree — with `text` itself an expression, e.g. in the curation
+    # composition — into every reference, and the optimizer's plan copy
+    # OOMs the driver at default heap (measured r6: curate_corpus died at
+    # 1g with the chained form, runs in the vanilla session with this one).
+    def _sc(name: str) -> F.Column:
+        return F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(script_class(name)), 0)
+        ).cast("long")
+
+    # 7 dimensional scripts, tie order = priority desc (han first)
+    scripts7 = F.array(
+        *[
+            F.struct(
+                _sc(n).alias("cnt"),
+                F.lit(len(SCRIPT_LANG) - i).alias("prio"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, (n, lang) in enumerate(SCRIPT_LANG.items())
+        ]
+    )
+    best7 = F.array_max(scripts7)
+    kana = _sc("kana")
+    hangul = _sc("hangul")
+    script_max = F.greatest(best7["cnt"], kana, hangul)
+    script_guess = (
+        F.when(kana > 0, F.lit("ja"))
+        .when(hangul > 0, F.lit("ko"))
+        .otherwise(best7["lang"])
+    )
     latin = F.size(
         F.regexp_extract_all(F.col(text_col), F.lit("[A-Za-z]"), 0)
+    ).cast("long")
+    # stopword vote: (hits, -alphabetical_rank) max → most hits, ties to
+    # the alphabetically first language — identical to the r1-r5 rule
+    w = f"split({text_col}, ' ')"
+    votes = F.array(
+        *[
+            F.struct(
+                F.expr(_hits(w, LANG_STOPWORDS[lang])).cast("long").alias("hits"),
+                F.lit(-i).alias("nrank"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(sorted(LANG_STOPWORDS))
+        ]
     )
-    script_max = F.greatest(*[F.col(f"_sc_{n}") for n in SCRIPT_RANGES])
-    script_guess = F.when(F.col("_sc_kana") > 0, F.lit("ja")).when(
-        F.col("_sc_hangul") > 0, F.lit("ko")
-    )
-    for name, lang in SCRIPT_LANG.items():
-        script_guess = script_guess.when(
-            F.col(f"_sc_{name}") == script_max, F.lit(lang)
-        )
-    out = out.withColumn("_w", F.split(F.col(text_col), " "))
-    for lang, stops in LANG_STOPWORDS.items():
-        out = out.withColumn(f"_hits_{lang}", F.expr(_hits("_w", stops)))
-    best = F.greatest(*[F.col(f"_hits_{lang}") for lang in LANG_STOPWORDS])
-    vote = F.lit("und")
-    for lang in sorted(LANG_STOPWORDS, reverse=True):
-        vote = F.when(
-            (F.col(f"_hits_{lang}") == best) & (best > 0), F.lit(lang)
-        ).otherwise(vote)
+    bestv = F.array_max(votes)
+    vote = F.when(bestv["hits"] > 0, bestv["lang"]).otherwise(F.lit("und"))
     guess = F.when(
         (script_max > 0) & (script_max * 4 >= latin), script_guess
     ).otherwise(vote)
-    return out.withColumn("lang_guess", guess).drop(
-        "_w",
-        *[f"_hits_{lang}" for lang in LANG_STOPWORDS],
-        *[f"_sc_{n}" for n in SCRIPT_RANGES],
-    )
+    return df.withColumn("lang_guess", guess)
 
 
 def duck_lang_id_sql(source: str = "documents") -> str:
