@@ -2864,13 +2864,19 @@ FROM documents
 
 
 def q_mm_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aspect-fit resize geometry over REAL header-parsed PNG dimensions
+    """Aspect-fit resize geometry over REAL header-parsed dimensions
     (integer basis-point scale, never upscales) — the mm_resize pass with
-    the fake dims replaced by bytes-off-the-wire."""
-    from ganda_spark.operators.media import resize_real, synth_media_table
+    the fake dims replaced by bytes-off-the-wire. r6: JPEG rows resize
+    off their SOF dims; truncated JPEGs have no dims and are filtered."""
+    from ganda_spark.operators.media import (
+        resize_real,
+        synth_jpeg_table,
+        synth_media_table,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return resize_real(synth_media_table(docs), max_w=512, max_h=512)
+    table = synth_media_table(docs).unionByName(synth_jpeg_table(docs))
+    return resize_real(table, max_w=512, max_h=512)
 
 
 _SQL_MM_RESIZE_REAL = """
@@ -2879,6 +2885,11 @@ WITH dims AS (
          16 + (doc_id * 7919) % 2048 AS w,
          16 + (doc_id * 104729) % 2048 AS h
   FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT CAST(doc_id + 1000000 AS VARCHAR) AS doc_id,
+         16 + (doc_id * 4243) % 4096 AS w,
+         16 + (doc_id * 271) % 4096 AS h
+  FROM documents WHERE doc_id % 5 NOT IN (0, 3)
 ),
 scaled AS (
   SELECT doc_id, w, h,

@@ -354,18 +354,20 @@ def resize_real(
 ) -> DataFrame:
     """Aspect-preserving fit into (max_w, max_h) over REAL header-parsed
     dimensions — integer basis-point scale (never upscales), identical
-    math to multimodal.resize_meta but fed by true geometry. Non-image
-    rows are filtered (no dimensions to resize)."""
-    p = F.col("payload")
-    fmt = detect_format(p)
-    w = _be_u32(p, 17)
-    h = _be_u32(p, 21)
+    math to multimodal.resize_meta but fed by true geometry. Built on
+    header_meta, so every format it can dimension (PNG IHDR, JPEG SOF —
+    r6) resizes; rows without dimensions are filtered."""
+    meta = header_meta(binary_df).where(
+        F.col("width").isNotNull() & F.col("height").isNotNull()
+    )
+    w = F.col("width")
+    h = F.col("height")
     scale_bp = F.least(
         F.lit(10000),
         (F.lit(max_w * 10000).cast("long") / w).cast("long"),
         (F.lit(max_h * 10000).cast("long") / h).cast("long"),
     )
-    return binary_df.where(fmt == "png").select(
+    return meta.select(
         "doc_id",
         w.alias("src_w"),
         h.alias("src_h"),
