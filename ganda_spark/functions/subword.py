@@ -99,18 +99,51 @@ def token_counts_subword(
     df: DataFrame,
     text_col: str = "text",
     vocab: tuple[str, ...] = SUBWORD_VOCAB,
+    by_type: bool = False,
 ) -> DataFrame:
     """Adds n_subword_tokens (greedy longest-match wordpiece count, case-
-    folded) next to n_ws_tokens. The vocab broadcasts as one row."""
+    folded) next to n_ws_tokens. The vocab broadcasts as one row.
+
+    by_type=True is the 100 TB shape: tokenize each distinct word TYPE
+    once (Zipf: types ≪ occurrences — web-scale corpora repeat the same
+    few million words trillions of times), then broadcast the per-type
+    counts back and sum per document. Costs two narrow shuffles (the
+    type distinct + the per-doc sum) and one broadcast; the fold runs
+    |types| times instead of |occurrences| times. Results are identical
+    to the inline form (test-pinned)."""
     spark = df.sparkSession
     vdf = F.broadcast(
         spark.createDataFrame([(list(vocab),)], "_vocab array<string>")
     )
-    out = df.crossJoin(vdf).withColumn(
-        "n_subword_tokens", subword_count_col(text_col)
+    ws = F.size(F.split(F.col(text_col), " ")).cast("long")
+    if not by_type:
+        out = df.crossJoin(vdf).withColumn(
+            "n_subword_tokens", subword_count_col(text_col)
+        )
+        return out.drop("_vocab").withColumn("n_ws_tokens", ws)
+    # type-memoized path: explode lowercased words, fold once per type
+    rowed = df.withColumn("_swrow", F.monotonically_increasing_id())
+    words = rowed.select(
+        "_swrow",
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("_swword"),
     )
-    return out.drop("_vocab").withColumn(
-        "n_ws_tokens", F.size(F.split(F.col(text_col), " ")).cast("long")
+    per_word = _WORD_FOLD.format(w="_swword", vocab="_vocab")
+    types = (
+        words.select("_swword")
+        .distinct()
+        .crossJoin(vdf)
+        .withColumn("_swtoks", F.expr(per_word))
+        .drop("_vocab")
+    )
+    counts = (
+        words.join(F.broadcast(types), "_swword")
+        .groupBy("_swrow")
+        .agg(F.sum("_swtoks").cast("long").alias("n_subword_tokens"))
+    )
+    return (
+        rowed.join(counts, "_swrow")
+        .drop("_swrow")
+        .withColumn("n_ws_tokens", ws)
     )
 
 

@@ -101,3 +101,26 @@ def test_plan_no_shuffle(spark):
     )
     final = plan.split("== Initial Plan ==")[0]
     assert "Exchange" not in final.replace("BroadcastExchange", "BX")
+
+
+def test_by_type_memoized_equals_inline(spark):
+    """The type-memoized (distinct words → fold per type → broadcast join
+    back) path must count identically to the inline projection."""
+    texts = [
+        "the query scan understanding retraining",
+        "THE the ThE repeated repeated words words words",
+        "zzz @@ 日本語 mixed bag",
+        "z" * 40 + " short",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    inline = {
+        r.doc_id: (r.n_subword_tokens, r.n_ws_tokens)
+        for r in token_counts_subword(df).collect()
+    }
+    typed = {
+        r.doc_id: (r.n_subword_tokens, r.n_ws_tokens)
+        for r in token_counts_subword(df, by_type=True).collect()
+    }
+    assert inline == typed
