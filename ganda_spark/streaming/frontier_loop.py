@@ -66,6 +66,7 @@ class CrawlDriver:
         compact_every: int = 8,
         trap_guard: dict | None = None,
         content_dedup: bool = False,
+        content_dedup_on: str = "body",
     ):
         """discover: results DataFrame → new frontier rows
         (seq, url, host, priority, context) — e.g. extract_urls over span
@@ -149,7 +150,15 @@ class CrawlDriver:
         full-mode snapshots carry seen_content, delta commits
         content_adds; resume reconstructs it (a checkpoint written
         before the flag existed resumes with an empty content table).
-        Metrics gain mirrors_dropped."""
+        Metrics gain mirrors_dropped.
+
+        content_dedup_on: 'body' hashes the RAW response bytes (exact
+        mirrors); 'text' hashes the html-EXTRACTED text (functions/html —
+        still a pure projection feeding the same md5), so mirrors that
+        differ only in per-page chrome the extraction strips — session
+        ids in scripts, build stamps in comments, CSS variants — dedup
+        too. 'text' is the training-data default posture; 'body' is the
+        byte-exact conservative one."""
         self.spark = spark
         self.cfg = cfg
         self.store = CheckpointStore(checkpoint_dir)
@@ -174,6 +183,9 @@ class CrawlDriver:
                 "hashes every page identically"
             )
         self.content_dedup = content_dedup
+        if content_dedup_on not in ("body", "text"):
+            raise ValueError(f"unknown content_dedup_on {content_dedup_on!r}")
+        self.content_dedup_on = content_dedup_on
         self._seen_content: DataFrame | None = None
         self._bloom = None  # lazily built/grown prefilter (bloom OR cuckoo)
         # driver-side memo: table -> latest generation holding a FULL
@@ -386,10 +398,17 @@ class CrawlDriver:
             from pyspark.sql import Window
 
             wch = Window.partitionBy("_chash").orderBy("seq")
+            hash_src = F.coalesce(F.col("body"), F.lit(""))
+            if self.content_dedup_on == "text":
+                # chrome-invariant identity: hash the extracted text, so
+                # mirrors differing only in stripped markup collapse too
+                from ganda_spark.functions.html import html_text_col
+
+                hash_src = html_text_col(hash_src)
             results = (
                 results.withColumn(
                     "_chash",
-                    F.md5(F.coalesce(F.col("body"), F.lit("")).cast("binary")),
+                    F.md5(hash_src.cast("binary")),
                 )
                 .withColumn("_crk", F.row_number().over(wch))
                 .where(F.col("_crk") == 1)

@@ -623,3 +623,53 @@ def test_content_dedup_rejects_discard_mode(spark, ckpt):
     cfg = EngineConfig(retries=1, request_workers=4, response_body="discard")
     with pytest.raises(ValueError, match="content_dedup"):
         CrawlDriver(spark, cfg, ckpt, content_dedup=True)
+
+
+def _chrome_mirror_fetcher(df, cfg):
+    """Every variant of a page serves the SAME article wrapped in
+    DIFFERENT chrome (a per-URL session id in a script tag + a build
+    comment) — raw bodies all differ, extracted text is per-page."""
+    from ganda_spark.operators.fetch import mock_fetch_udf
+
+    page = F.regexp_extract("url", r"/page/(\d+)/", 1)
+    variant = F.regexp_extract("url", r"/v/(\d+)", 1)
+    return mock_fetch_udf(df, cfg).withColumn(
+        "body",
+        F.concat(
+            F.lit("<html><head><script>sid='"), variant,
+            F.lit("';</script><!-- build "), variant,
+            F.lit(" --></head><body><p>ARTICLE "), page,
+            F.lit("</p></body></html>"),
+        ),
+    )
+
+
+def test_content_dedup_on_text_catches_chrome_mirrors(spark, ckpt):
+    """content_dedup_on='text': mirrors that differ only in script/comment
+    chrome dedup (raw-body hashing would keep all of them — asserted as
+    the contrast)."""
+    cfg = EngineConfig(retries=1, request_workers=4, per_host_budget=1000)
+    d_text = CrawlDriver(
+        spark, cfg, ckpt + "/t", fetcher=_chrome_mirror_fetcher,
+        content_dedup=True, content_dedup_on="text",
+    )
+    metrics = d_text.run(_mirror_seed(spark, pages=6, variants=3),
+                         max_generations=3)
+    assert sum(m["results"] for m in metrics) == 6
+    assert sum(m["mirrors_dropped"] for m in metrics) == 12
+    # contrast: raw-body hashing sees 18 distinct bodies, drops nothing
+    d_body = CrawlDriver(
+        spark, cfg, ckpt + "/b", fetcher=_chrome_mirror_fetcher,
+        content_dedup=True, content_dedup_on="body",
+    )
+    metrics_b = d_body.run(_mirror_seed(spark, pages=6, variants=3),
+                           max_generations=3)
+    assert sum(m["results"] for m in metrics_b) == 18
+    assert sum(m["mirrors_dropped"] for m in metrics_b) == 0
+
+
+def test_content_dedup_on_rejects_unknown(spark, ckpt):
+    cfg = EngineConfig(retries=1, request_workers=4)
+    with pytest.raises(ValueError, match="content_dedup_on"):
+        CrawlDriver(spark, cfg, ckpt, content_dedup=True,
+                    content_dedup_on="soup")
