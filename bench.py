@@ -249,8 +249,9 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict, dict, dict]:
     # the O(n) code-group fallback AND every copy is still flagged.
     from ganda_spark.operators.media import embed_media
 
-    blob_pay = spark.range(1, 6001).select(
-        (F.col("id") + 300_000).alias("doc_id"),
+    # ids 0-based: localized_kmeans_centroids seeds from vec_id < C
+    blob_pay = spark.range(0, 6000).select(
+        F.col("id").alias("doc_id"),
         F.lit(b"\x42" * 512).alias("payload"),
     )
     t0 = time.time()
@@ -258,7 +259,7 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict, dict, dict]:
         F.col("doc_id").alias("vec_id"),
         F.col("media_embedding").alias("embedding"),
     )
-    mcent = localized_kmeans_centroids(memb, n_centroids=16, iters=1, dim=64)
+    mcent = localized_kmeans_centroids(memb, n_centroids=16, iters=1, dim=16)
     media_dups = (
         semantic_dedup_capped(
             memb, threshold_bp=9990, max_list=4096, centroids=mcent

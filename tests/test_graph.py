@@ -147,3 +147,32 @@ def test_pagerank_validation_spool_every(spark):
     e = _edges(spark, [("a", "b")])
     with pytest.raises(ValueError, match="spool_every"):
         pagerank(e, spool_every=0)
+
+
+def test_pagerank_requires_spool_dir_off_local(spark, monkeypatch):
+    """ADVICE r5: the tempfile spool default is driver-local; a non-local
+    master must demand an explicit shared spool_dir."""
+    import pytest
+
+    from ganda_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    real = spark.sparkContext.master
+
+    class _FakeSC:
+        master = "spark://cluster:7077"
+
+        def __getattr__(self, item):
+            return getattr(spark.sparkContext, item)
+
+    monkeypatch.setattr(
+        type(spark), "sparkContext", property(lambda self: _FakeSC())
+    )
+    try:
+        with pytest.raises(ValueError, match="spool_dir"):
+            pagerank(edges, iterations=20, spool_every=8)
+    finally:
+        monkeypatch.undo()
+    assert spark.sparkContext.master == real

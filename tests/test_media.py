@@ -287,3 +287,17 @@ def test_jpeg_desync_and_sos_before_sof_null(spark):
     for r in header_meta(df).collect():
         assert r.format == "jpeg"
         assert r.width is None and r.height is None
+
+
+def test_embed_media_null_payload_embeds_as_empty(spark):
+    """ADVICE r5: a NULL payload must embed exactly like an EMPTY payload
+    (the single empty-block hash), not poison every dimension NULL."""
+    from ganda_spark.operators.media import embed_media
+
+    df = spark.createDataFrame(
+        [("a", None), ("b", b"")], "doc_id string, payload binary"
+    )
+    rows = {r.doc_id: r for r in embed_media(df).collect()}
+    assert rows["a"].media_embedding == rows["b"].media_embedding
+    assert rows["a"].media_embedding_bp == rows["b"].media_embedding_bp
+    assert all(v is not None for v in rows["a"].media_embedding)

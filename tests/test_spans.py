@@ -104,3 +104,22 @@ def test_assembly_order_under_shuffle(spark, sf_dir):
     joined = docs.alias("a").join(rebuilt.alias("b"), "doc_id")
     mismatch = joined.where(F.col("a.spans") != F.col("b.spans"))
     assert mismatch.count() == 0
+
+
+def test_span_fingerprint_null_fields_do_not_collide(spark):
+    """ADVICE r5: concat_ws skips NULL args, so an un-coalesced NULL kind
+    would render 3 fields and could collide with a genuinely different
+    4-field span. All four fields coalesce — these two docs must differ."""
+    from ganda_spark.sources.spans import span_fingerprint
+
+    rows = [
+        ("a", [(None, "x\x1fy", None, 0)]),   # NULL kind
+        ("b", [("x", "y", None, 0)]),          # kind='x', text='y'
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    fps = {r.doc_id: r.span_fp for r in span_fingerprint(df).collect()}
+    assert fps["a"] != fps["b"]
