@@ -147,6 +147,87 @@ def token_counts_subword(
     )
 
 
+def induce_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    n_min: int = 2,
+    n_max: int = 4,
+    top_n: int = 64,
+) -> DataFrame:
+    """Data-derived subword vocabulary: the top-`top_n` character n-grams
+    (lengths n_min..n_max) over word TYPES, weighted by each type's
+    occurrence count — the counting core of BPE/wordpiece vocabulary
+    induction (merge frequency == weighted n-gram frequency on the first
+    iteration), kept single-pass so both engines compute it identically.
+    The induced `piece` column drops straight into `token_counts_subword`'s
+    vocab argument (single-char fallback still guarantees totality).
+
+    Scale shape: occurrences reduce to types first (one narrow shuffle —
+    Zipf makes types ≪ occurrences), the per-type gram expansion is a
+    pure-Column nested transform, and the gram aggregate's key domain is
+    bounded by charset^n_max, so the final row_number sort ranks a small
+    aggregated frame, not the corpus. Ties break (weight DESC, piece ASC)
+    for determinism.
+    """
+    from pyspark.sql.window import Window
+
+    words = df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w")
+    ).where(F.col("w") != "")
+    types = words.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    grams_expr = (
+        f"flatten(transform(sequence({n_min}, {n_max}), n -> "
+        f"CASE WHEN length(w) >= n THEN "
+        f"transform(sequence(1, length(w) - n + 1), i -> substr(w, i, n)) "
+        f"ELSE CAST(array() AS array<string>) END))"
+    )
+    agg = (
+        types.select(F.explode(F.expr(grams_expr)).alias("piece"), "f")
+        .groupBy("piece")
+        .agg(F.sum("f").cast("long").alias("weight"))
+    )
+    w = Window.orderBy(F.col("weight").desc(), F.col("piece"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select("rank", "piece", "weight")
+    )
+
+
+def duck_vocab_induction_sql(
+    source: str = "documents",
+    text_col: str = "text",
+    n_min: int = 2,
+    n_max: int = 4,
+    top_n: int = 64,
+) -> str:
+    """DuckDB mirror of induce_vocab (nested list comprehension instead of
+    nested transform; range(a, b) is empty when b <= a, which covers the
+    short-word guard the Spark CASE handles)."""
+    return f"""
+WITH wocc AS (
+  SELECT x AS w
+  FROM (SELECT unnest(string_split(lower({text_col}), ' ')) AS x FROM {source})
+  WHERE x <> ''
+),
+types AS (SELECT w, count(*) AS f FROM wocc GROUP BY w),
+grams AS (
+  SELECT unnest(flatten([
+           [substr(w, CAST(i AS INT), CAST(n AS INT))
+            for i in range(1, length(w) - n + 2)]
+           for n in range({n_min}, {n_max} + 1)])) AS piece,
+         f
+  FROM types
+),
+agg AS (SELECT piece, CAST(sum(f) AS BIGINT) AS weight FROM grams GROUP BY piece)
+SELECT CAST(row_number() OVER (ORDER BY weight DESC, piece) AS INT) AS rank,
+       piece, weight
+FROM agg
+QUALIFY rank <= {top_n}
+ORDER BY rank
+"""
+
+
 def duck_subword_ctes(
     source: str = "documents",
     id_col: str = "doc_id",
