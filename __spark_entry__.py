@@ -1900,6 +1900,36 @@ FROM m
 """
 
 
+_GOPHER_COLS = (
+    "n_words", "mean_word_len_bp", "symbol_word_bp", "stop_hits",
+    "alpha_word_bp", "bullet_line_bp", "ellipsis_line_bp",
+    "dup_line_bp", "dup_line_char_bp", "keep_gopher",
+)
+
+
+def q_text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality facets + gate (functions/quality.py): the
+    MassiveText §A.1.1 heuristics as one pure-Column projection — the
+    filter stage between extract/normalize and dedup that the reference
+    leaves to the Unix pipe (responses/responses.go:91-103)."""
+    from ganda_spark.functions.quality import gopher_quality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gopher_quality(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"), *_GOPHER_COLS
+    )
+
+
+def _sql_text_quality_gopher() -> str:
+    from ganda_spark.functions.quality import duck_gopher_sql
+
+    return f"""
+WITH g AS ({duck_gopher_sql()})
+SELECT CAST(doc_id AS BIGINT) AS doc_id, {", ".join(_GOPHER_COLS)}
+FROM g
+"""
+
+
 def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return token_counts(docs).select(
@@ -5014,6 +5044,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
         _sql_dedup_exact_normalized(),
     ),
     "text_vocab_induction": (q_text_vocab_induction, _sql_text_vocab_induction()),
+    "text_quality_gopher": (q_text_quality_gopher, _sql_text_quality_gopher()),
     # --- reference-parity crawl backbone (driver-visible) ---
     "s4_url_tsv_parse": (q_s4_url_tsv_parse, _SQL_S4),
     "s5_json_parse": (q_s5_json_parse, _SQL_S5),
@@ -5157,7 +5188,7 @@ _R6_WINDOW = [
     # new in r6
     "text_extract_html", "text_boilerplate_removal", "corpus_clean_pipeline",
     "f8_rfc_robots", "text_token_counts_subword", "text_normalize",
-    "dedup_exact_normalized", "text_vocab_induction",
+    "dedup_exact_normalized", "text_vocab_induction", "text_quality_gopher",
     # code changed in r6
     "mm_decode_real", "dedup_semantic_media",
     # last driver-checked in r4 (events_hourly / agg_pricing_summary /
@@ -5169,7 +5200,7 @@ _R6_WINDOW = [
     "text_lang_id", "text_quality", "text_token_counts", "text_fingerprint",
     "text_embed", "mm_binary_meta", "mm_decode_stub", "mm_resize",
     "mm_frame_sample",
-    "events_sessionize", "agg_latency_quantiles",
+    "events_sessionize",
 ]
 assert len(_R6_WINDOW) == 50 and len(set(_R6_WINDOW)) == 50
 _REGISTRY = {
