@@ -1930,6 +1930,47 @@ FROM g
 """
 
 
+def q_corpus_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-budgeted ORDERED shard export + manifest (operators/sampling.
+    export_ordered_shards): global-key-order shard numbering via the
+    two-level prefix sum (bucket-local windows + broadcast offsets — no
+    global window), then the per-shard manifest aggregate whose
+    commutative content fingerprint audits a re-export byte-for-byte."""
+    from ganda_spark.operators.sampling import (
+        export_ordered_shards,
+        shard_manifest,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sharded = export_ordered_shards(
+        docs, size_col="n_chars", shard_bytes=16_384, key_col="doc_id", buckets=8
+    )
+    return shard_manifest(sharded, size_col="n_chars")
+
+
+_SQL_EXPORT_SHARDS = """
+WITH s AS (
+  SELECT doc_id, CAST(coalesce(n_chars, 0) AS BIGINT) AS sz FROM documents
+),
+c AS (
+  SELECT doc_id, sz,
+         coalesce(sum(sz) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM s
+),
+sh AS (SELECT doc_id, sz, CAST(prev // 16384 AS BIGINT) AS shard_id FROM c)
+SELECT shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(sz) AS BIGINT) AS total_bytes,
+       CAST(min(doc_id) AS BIGINT) AS min_key,
+       CAST(max(doc_id) AS BIGINT) AS max_key,
+       CAST(sum(CAST(('0x' || substr(md5(
+           CAST(doc_id AS VARCHAR) || ':' || CAST(sz AS VARCHAR)
+         ), 1, 12)) AS BIGINT)) AS BIGINT) AS content_fp
+FROM sh GROUP BY shard_id
+"""
+
+
 def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return token_counts(docs).select(
@@ -5045,6 +5086,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     ),
     "text_vocab_induction": (q_text_vocab_induction, _sql_text_vocab_induction()),
     "text_quality_gopher": (q_text_quality_gopher, _sql_text_quality_gopher()),
+    "corpus_export_shards": (q_corpus_export_shards, _SQL_EXPORT_SHARDS),
     # --- reference-parity crawl backbone (driver-visible) ---
     "s4_url_tsv_parse": (q_s4_url_tsv_parse, _SQL_S4),
     "s5_json_parse": (q_s5_json_parse, _SQL_S5),
@@ -5189,6 +5231,7 @@ _R6_WINDOW = [
     "text_extract_html", "text_boilerplate_removal", "corpus_clean_pipeline",
     "f8_rfc_robots", "text_token_counts_subword", "text_normalize",
     "dedup_exact_normalized", "text_vocab_induction", "text_quality_gopher",
+    "corpus_export_shards",
     # code changed in r6
     "mm_decode_real", "dedup_semantic_media",
     # last driver-checked in r4 (events_hourly / agg_pricing_summary /
@@ -5200,7 +5243,6 @@ _R6_WINDOW = [
     "text_lang_id", "text_quality", "text_token_counts", "text_fingerprint",
     "text_embed", "mm_binary_meta", "mm_decode_stub", "mm_resize",
     "mm_frame_sample",
-    "events_sessionize",
 ]
 assert len(_R6_WINDOW) == 50 and len(set(_R6_WINDOW)) == 50
 _REGISTRY = {

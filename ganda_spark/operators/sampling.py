@@ -168,3 +168,105 @@ def pack_next_fit(
     return df.withColumn("_prev_cum", prev_cum).withColumn(
         bin_col, F.expr(f"CAST(_prev_cum DIV {budget} AS BIGINT)")
     ).drop("_prev_cum")
+
+
+def export_ordered_shards(
+    df: DataFrame,
+    size_col: str,
+    shard_bytes: int,
+    key_col: str = "doc_id",
+    buckets: int = 256,
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """Size-budgeted ORDERED shard assignment: rows taken in ascending
+    `key_col` order, shard s holds the rows whose preceding cumulative
+    size lies in [s·shard_bytes, (s+1)·shard_bytes) — the export step
+    that cuts a curated corpus into stable, resumable training shards
+    whose numbering is reproducible run-to-run (unlike pack_next_fit's
+    hash-sharded bins, the GLOBAL key order is preserved across shards,
+    so shard k of a re-export byte-matches shard k of the original).
+
+    The global prefix sum is computed WITHOUT a global window (a
+    single-partition sort dies at 10^10 rows): the classic two-level
+    scan. Keys bucket by deterministic value ranges (one 2-row min/max
+    aggregate sizes the ranges); each bucket computes its LOCAL ordered
+    prefix sum (one shuffle, windows see ~N/buckets rows); bucket totals
+    aggregate to `buckets` rows, cumulate driver-side, and broadcast
+    back as per-bucket offsets. global_prev_cum = offset + local_prev.
+    Integer DIV end-to-end (same 2^53 rationale as pack_next_fit).
+
+    `buckets` is the parallelism knob (plan-only: it never changes the
+    assignment — pinned by test); at 10^10 docs use O(10^4). Requires a
+    numeric, non-null, unique key (dense ids are the export norm);
+    NULL sizes count as 0.
+    """
+    if shard_bytes < 1:
+        raise ValueError(f"shard_bytes must be >= 1, got {shard_bytes}")
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    bounds = df.agg(
+        F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+    ).collect()[0]
+    spark = df.sparkSession
+    if bounds["lo"] is None:  # empty input: zero-row pass-through
+        return df.withColumn(shard_col, F.lit(None).cast("long")).where(F.lit(False))
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    span = max(1, -(-(hi - lo + 1) // buckets))
+    size = F.coalesce(F.col(size_col).cast("long"), F.lit(0))
+    b = df.withColumn("_b", F.expr(f"CAST(({key_col} - {lo}) DIV {span} AS INT)"))
+    w = Window.partitionBy("_b").orderBy(key_col)
+    local = b.withColumn("_sz", size).withColumn(
+        "_local_prev",
+        F.coalesce(
+            F.sum("_sz").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long"),
+    )
+    totals = sorted(
+        (r["_b"], int(r["_t"]))
+        for r in b.select("_b", size.alias("_s"))
+        .groupBy("_b")
+        .agg(F.sum("_s").alias("_t"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for bucket, total in totals:
+        offsets.append((bucket, acc))
+        acc += total
+    off = F.broadcast(
+        spark.createDataFrame(offsets, "_b int, _off long")
+    )
+    return (
+        local.join(off, "_b")
+        .withColumn(
+            shard_col,
+            F.expr(f"CAST((_off + _local_prev) DIV {shard_bytes} AS BIGINT)"),
+        )
+        .drop("_b", "_sz", "_local_prev", "_off")
+    )
+
+
+def shard_manifest(
+    sharded: DataFrame,
+    size_col: str,
+    key_col: str = "doc_id",
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """Per-shard export manifest: row count, byte total, key range, and an
+    order-free content fingerprint (sum of 48-bit md5 ints of key||size —
+    commutative, so it is partitioning-invariant and SQL-mirrorable).
+    One narrow aggregate on the shard id; the manifest is shard-count
+    sized, auditable against the oracle and against a re-export."""
+    fp = md5_int(
+        f"concat(CAST({key_col} AS STRING), ':', "
+        f"CAST(coalesce(CAST({size_col} AS BIGINT), 0) AS STRING))"
+    )
+    return sharded.groupBy(shard_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.coalesce(F.col(size_col).cast("long"), F.lit(0)))
+        .cast("long")
+        .alias("total_bytes"),
+        F.min(key_col).cast("long").alias("min_key"),
+        F.max(key_col).cast("long").alias("max_key"),
+        F.sum(F.expr(fp)).cast("long").alias("content_fp"),
+    )
