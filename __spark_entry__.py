@@ -1971,6 +1971,86 @@ FROM sh GROUP BY shard_id
 """
 
 
+def q_corpus_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r6 curation stages END-TO-END: normalize (projection) →
+    Gopher facet gate (projection; a relaxed profile suited to the
+    synthetic corpus — production uses GOPHER_THRESHOLDS) → exact dedup
+    on the NORMALIZED text (one hash shuffle + keeper semi-join) →
+    ordered shard export (two-level prefix sum) → release manifest.
+    The output is what a training run actually consumes: shard ids,
+    sizes, key ranges and content fingerprints of the released corpus."""
+    from ganda_spark.functions.normalize import normalize_text
+    from ganda_spark.functions.quality import gopher_quality
+    from ganda_spark.operators.dedup import exact_dup_groups
+    from ganda_spark.operators.sampling import (
+        export_ordered_shards,
+        shard_manifest,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    normed = normalize_text(docs).select("doc_id", "text_norm")
+    gated = (
+        gopher_quality(normed, text_col="text_norm")
+        .where(
+            (F.col("alpha_word_bp") >= 8000)
+            & (F.col("stop_hits") >= 1)
+            & (F.col("n_words") >= 20)
+            & (F.col("dup_line_bp") <= 3000)
+        )
+        .select("doc_id", "text_norm")
+    )
+    keep = exact_dup_groups(gated, id_col="doc_id", text_col="text_norm").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    kept = gated.join(keep, "doc_id", "left_semi").withColumn(
+        "norm_bytes", F.length("text_norm").cast("long")
+    )
+    sharded = export_ordered_shards(
+        kept, size_col="norm_bytes", shard_bytes=8_192, key_col="doc_id", buckets=8
+    )
+    return shard_manifest(sharded, size_col="norm_bytes")
+
+
+def _sql_corpus_release_pipeline() -> str:
+    from ganda_spark.functions.normalize import duck_normalize_sql
+    from ganda_spark.functions.quality import duck_gopher_sql
+
+    return f"""
+WITH normed AS (
+  SELECT doc_id, {duck_normalize_sql("text")} AS text_norm FROM documents
+),
+gated AS (
+  SELECT doc_id, text_norm
+  FROM ({duck_gopher_sql(source="normed", text_col="text_norm")}) g
+  WHERE alpha_word_bp >= 8000 AND stop_hits >= 1
+    AND n_words >= 20 AND dup_line_bp <= 3000
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text_norm)),
+kept AS (
+  SELECT g.doc_id, CAST(length(g.text_norm) AS BIGINT) AS sz
+  FROM gated g JOIN keep k USING (doc_id)
+),
+c AS (
+  SELECT doc_id, sz,
+         coalesce(sum(sz) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM kept
+),
+sh AS (SELECT doc_id, sz, CAST(prev // 8192 AS BIGINT) AS shard_id FROM c)
+SELECT shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(sz) AS BIGINT) AS total_bytes,
+       CAST(min(doc_id) AS BIGINT) AS min_key,
+       CAST(max(doc_id) AS BIGINT) AS max_key,
+       CAST(sum(CAST(('0x' || substr(md5(
+           CAST(doc_id AS VARCHAR) || ':' || CAST(sz AS VARCHAR)
+         ), 1, 12)) AS BIGINT)) AS BIGINT) AS content_fp
+FROM sh GROUP BY shard_id
+"""
+
+
 def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return token_counts(docs).select(
@@ -5087,6 +5167,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "text_vocab_induction": (q_text_vocab_induction, _sql_text_vocab_induction()),
     "text_quality_gopher": (q_text_quality_gopher, _sql_text_quality_gopher()),
     "corpus_export_shards": (q_corpus_export_shards, _SQL_EXPORT_SHARDS),
+    "corpus_release_pipeline": (
+        q_corpus_release_pipeline,
+        _sql_corpus_release_pipeline(),
+    ),
     # --- reference-parity crawl backbone (driver-visible) ---
     "s4_url_tsv_parse": (q_s4_url_tsv_parse, _SQL_S4),
     "s5_json_parse": (q_s5_json_parse, _SQL_S5),
@@ -5231,7 +5315,7 @@ _R6_WINDOW = [
     "text_extract_html", "text_boilerplate_removal", "corpus_clean_pipeline",
     "f8_rfc_robots", "text_token_counts_subword", "text_normalize",
     "dedup_exact_normalized", "text_vocab_induction", "text_quality_gopher",
-    "corpus_export_shards",
+    "corpus_export_shards", "corpus_release_pipeline",
     # code changed in r6
     "mm_decode_real", "dedup_semantic_media",
     # last driver-checked in r4 (events_hourly / agg_pricing_summary /
@@ -5242,7 +5326,6 @@ _R6_WINDOW = [
     "sim_topk_brute", "sim_lsh_buckets", "sim_ann_topk", "sim_ivf_topk",
     "text_lang_id", "text_quality", "text_token_counts", "text_fingerprint",
     "text_embed", "mm_binary_meta", "mm_decode_stub", "mm_resize",
-    "mm_frame_sample",
 ]
 assert len(_R6_WINDOW) == 50 and len(set(_R6_WINDOW)) == 50
 _REGISTRY = {

@@ -61,6 +61,15 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict, dict, dict]:
     _materialize(fetched)
     timings["fetch_pipeline"] = round(time.time() - t0, 3)
     stats["fetched_urls_per_sec"] = round(n_frontier / timings["fetch_pipeline"])
+    # warm-path rerun (additive stats key, headline composition unchanged):
+    # the cold number above includes the ONE-TIME python-worker/Arrow
+    # warmup, which is what co-tenant weather amplifies (r6 diagnosis:
+    # cold 3.2 s vs warm 0.71 s on a probe-clean window). The warm rate is
+    # the steady-state engine throughput a long crawl actually sustains.
+    t0 = time.time()
+    _materialize(mock_fetch_udf(frontier, cfg).where(F.col("fetch_error").isNull()))
+    stats["fetch_warm_sec"] = round(time.time() - t0, 3)
+    stats["fetched_urls_per_sec_warm"] = round(n_frontier / stats["fetch_warm_sec"])
 
     # 2. frontier dedup (anti-join seen)
     seen = frontier.where(F.col("seq") % 3 == 0).select("url")
