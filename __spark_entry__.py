@@ -2004,8 +2004,10 @@ def q_corpus_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = exact_dup_groups(gated, id_col="doc_id", text_col="text_norm").select(
         F.col("keep_id").alias("doc_id")
     )
-    kept = gated.join(keep, "doc_id", "left_semi").withColumn(
-        "norm_bytes", F.length("text_norm").cast("long")
+    # slim to (key, size) BEFORE the export: its input persist then holds
+    # 16 bytes/row instead of the corpus text (the 100 TB-relevant cut)
+    kept = gated.join(keep, "doc_id", "left_semi").select(
+        "doc_id", F.length("text_norm").cast("long").alias("norm_bytes")
     )
     sharded = export_ordered_shards(
         kept, size_col="norm_bytes", shard_bytes=8_192, key_col="doc_id", buckets=8

@@ -177,6 +177,7 @@ def export_ordered_shards(
     key_col: str = "doc_id",
     buckets: int = 256,
     shard_col: str = "shard_id",
+    cache_input: bool = True,
 ) -> DataFrame:
     """Size-budgeted ORDERED shard assignment: rows taken in ascending
     `key_col` order, shard s holds the rows whose preceding cumulative
@@ -199,11 +200,23 @@ def export_ordered_shards(
     assignment — pinned by test); at 10^10 docs use O(10^4). Requires a
     numeric, non-null, unique key (dense ids are the export norm);
     NULL sizes count as 0.
+
+    The operator needs THREE actions over the input (key bounds, bucket
+    totals, the final assignment pass) — with an expensive upstream
+    (normalize→gate→dedup compositions) that recompute tripled the wall
+    (measured 3.9k docs/s → 18k+ with the persist at the 120k rehearsal),
+    and at 100 TB it is three full passes. `cache_input` (default on)
+    persists the input for the duration; the returned DataFrame still
+    reads the persisted frame — callers materializing once may
+    `df.unpersist()` afterwards. Pass False when the caller already
+    persisted or spooled.
     """
     if shard_bytes < 1:
         raise ValueError(f"shard_bytes must be >= 1, got {shard_bytes}")
     if buckets < 1:
         raise ValueError(f"buckets must be >= 1, got {buckets}")
+    if cache_input:
+        df = df.persist()
     bounds = df.agg(
         F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
     ).collect()[0]
