@@ -136,6 +136,12 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict, dict, dict]:
         ("f8_rfc_robots_sec", "f8_rfc_robots"),
         ("text_subword_sec", "text_token_counts_subword"),
         ("text_lang_id_sec", "text_lang_id"),
+        # r6 late additions: normalization, the Gopher gate, ordered
+        # export, and the end-to-end release manifest
+        ("text_normalize_sec", "text_normalize"),
+        ("quality_gopher_sec", "text_quality_gopher"),
+        ("corpus_export_sec", "corpus_export_shards"),
+        ("corpus_release_sec", "corpus_release_pipeline"),
     ):
         t0 = time.time()
         _materialize(entry.queries()[qname](spark, sf_dir))
