@@ -2053,6 +2053,53 @@ FROM sh GROUP BY shard_id
 """
 
 
+def q_curate_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cap keeping the BEST-quality docs (operators/sampling.
+    take_best): the per-domain cap every web corpus applies so one
+    boilerplate-heavy host cannot dominate the mix. One shuffle on the
+    source key; each window orders one source's rows."""
+    from ganda_spark.operators.sampling import take_best
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = quality_metrics(docs)
+    return take_best(
+        scored, group_cols=["source"], k=10,
+        order_col="quality_score_bp", key_col="doc_id",
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        "quality_score_bp",
+        "keep_rank",
+    )
+
+
+_SQL_SOURCE_CAP = """
+WITH m AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS n_words,
+         len([x for x in string_split(text, ' ')
+              if x IN ('the','a','of','and','to')]) AS en_hits
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source,
+         CAST(least(n_words * 100, 10000) // 2 +
+              least((en_hits * 10000 // n_words) * 5, 10000) // 2 AS BIGINT)
+           AS quality_score_bp
+  FROM m
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY quality_score_bp DESC, doc_id ASC
+         ) AS BIGINT) AS keep_rank
+  FROM scored
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, quality_score_bp, keep_rank
+FROM ranked WHERE keep_rank <= 10
+"""
+
+
 def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return token_counts(docs).select(
@@ -5173,6 +5220,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
         q_corpus_release_pipeline,
         _sql_corpus_release_pipeline(),
     ),
+    "curate_source_cap": (q_curate_source_cap, _SQL_SOURCE_CAP),
     # --- reference-parity crawl backbone (driver-visible) ---
     "s4_url_tsv_parse": (q_s4_url_tsv_parse, _SQL_S4),
     "s5_json_parse": (q_s5_json_parse, _SQL_S5),
@@ -5317,7 +5365,7 @@ _R6_WINDOW = [
     "text_extract_html", "text_boilerplate_removal", "corpus_clean_pipeline",
     "f8_rfc_robots", "text_token_counts_subword", "text_normalize",
     "dedup_exact_normalized", "text_vocab_induction", "text_quality_gopher",
-    "corpus_export_shards", "corpus_release_pipeline",
+    "corpus_export_shards", "corpus_release_pipeline", "curate_source_cap",
     # code changed in r6
     "mm_decode_real", "dedup_semantic_media",
     # last driver-checked in r4 (events_hourly / agg_pricing_summary /
@@ -5327,7 +5375,7 @@ _R6_WINDOW = [
     "dedup_simhash", "dedup_simhash_pairs", "dedup_embedding",
     "sim_topk_brute", "sim_lsh_buckets", "sim_ann_topk", "sim_ivf_topk",
     "text_lang_id", "text_quality", "text_token_counts", "text_fingerprint",
-    "text_embed", "mm_binary_meta", "mm_decode_stub", "mm_resize",
+    "text_embed", "mm_binary_meta", "mm_decode_stub",
 ]
 assert len(_R6_WINDOW) == 50 and len(set(_R6_WINDOW)) == 50
 _REGISTRY = {

@@ -65,6 +65,32 @@ def stratified_take(
     )
 
 
+def take_best(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    order_col: str,
+    key_col: str,
+    descending: bool = True,
+    rank_col: str = "keep_rank",
+) -> DataFrame:
+    """Per-group cap keeping the BEST rows — the per-domain/per-source
+    cap every web corpus applies so one boilerplate-heavy host cannot
+    dominate the training mix (contrast stratified_take, which samples
+    UNIFORMLY by hash). Deterministic: orders by `order_col`
+    (DESC by default — higher score wins), `key_col` ascending as the
+    tiebreak. One shuffle on the group key; each window orders one
+    group's rows, and AQE splits skewed groups at the exchange."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    order = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    w = Window.partitionBy(*group_cols).orderBy(order, F.col(key_col).asc())
+    return (
+        df.withColumn(rank_col, F.row_number().over(w).cast("long"))
+        .where(F.col(rank_col) <= k)
+    )
+
+
 def mix_to_budget(
     df: DataFrame,
     weights: dict[str, int],

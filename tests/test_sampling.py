@@ -245,3 +245,30 @@ def test_mix_auto_shards_equals_explicit(spark, sf_dir):
     assert sorted((r.doc_id, r.mix_prev_cum) for r in auto1.collect()) == sorted(
         (r.doc_id, r.mix_prev_cum) for r in serial.collect()
     )
+
+
+def test_take_best_per_group_cap(spark):
+    from ganda_spark.operators.sampling import take_best
+
+    rows = [
+        # (doc_id, source, score) — src A: 4 docs incl. a score tie,
+        # src B: 2 docs (under the cap)
+        (1, "a", 50), (2, "a", 90), (3, "a", 70), (4, "a", 90),
+        (5, "b", 10), (6, "b", 20),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score long")
+    out = take_best(
+        df, group_cols=["source"], k=2, order_col="score", key_col="doc_id"
+    )
+    got = {r.doc_id: r.keep_rank for r in out.collect()}
+    # src a keeps the two 90s; the tie breaks on doc_id ASC (2 before 4)
+    assert got == {2: 1, 4: 2, 6: 1, 5: 2}
+    # ascending keeps the WORST instead (holdout-style inversion)
+    worst = take_best(
+        df, group_cols=["source"], k=1, order_col="score",
+        key_col="doc_id", descending=False,
+    )
+    assert sorted(r.doc_id for r in worst.collect()) == [1, 5]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k must be"):
+        take_best(df, ["source"], 0, "score", "doc_id")
