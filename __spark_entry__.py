@@ -1295,6 +1295,119 @@ def _sql_minhash_lsh() -> str:
     )
 
 
+def q_dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical MinHash-LSH recall evaluator (the dedup sibling of
+    sim_recall_report): brute-force TRUE Jaccard over a deterministic
+    hash sample of the near-dup corpus, band-join detection with the
+    production (k=8, r=2, b=4) config both UNCAPPED and with the
+    degenerate-bucket guard (max_bucket=3), reported per true-Jaccard
+    bucket — the measured S-curve + the guard's recall cost as data.
+    Scale posture: the sample bounds the m² truth stage (m is the
+    evaluator's knob, like sim_recall_report's persisted truth); the
+    detection stages are the production operators unchanged."""
+    from ganda_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_band_hashes,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from ganda_spark.operators.sampling import sample_hash_col
+
+    sample = (
+        with_shingles(_near_corpus(spark, sf_dir))
+        .where(sample_hash_col("doc_id", 6000, salt="lshrecall:"))
+        .persist()
+    )
+    all_pairs = (
+        sample.select(F.col("doc_id").alias("id_a"))
+        .crossJoin(sample.select(F.col("doc_id").alias("id_b")))
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+    truth = jaccard_verify(all_pairs, sample, broadcast_pairs=True).where(
+        F.col("jaccard") >= 0.5
+    )
+    banded = lsh_band_hashes(
+        minhash_signatures(sample, k=8), k=8, rows_per_band=2
+    ).persist()
+    det = lsh_candidate_pairs(banded, k=8, rows_per_band=2, broadcast_bands=True)
+    detc = lsh_candidate_pairs(
+        banded, k=8, rows_per_band=2, broadcast_bands=True, max_bucket=3
+    )
+    bucket = (
+        F.when(F.col("jaccard") >= 0.85, F.lit(8500))
+        .when(F.col("jaccard") >= 0.7, F.lit(7000))
+        .otherwise(F.lit(5000))
+    ).cast("long")
+    return (
+        truth.join(det.withColumn("_d", F.lit(1)), ["id_a", "id_b"], "left")
+        .join(detc.withColumn("_dc", F.lit(1)), ["id_a", "id_b"], "left")
+        .withColumn("jaccard_bucket_bp", bucket)
+        .groupBy("jaccard_bucket_bp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_true"),
+            F.sum(F.coalesce(F.col("_d"), F.lit(0))).cast("long").alias("n_detected"),
+            F.sum(F.coalesce(F.col("_dc"), F.lit(0)))
+            .cast("long")
+            .alias("n_detected_capped"),
+        )
+    )
+
+
+def _sql_lsh_recall_report() -> str:
+    sig_cols = _duck_sig_cols()
+    band_cols = ", ".join(
+        f"md5(concat(CAST(sig_{2*b} AS VARCHAR), '_', CAST(sig_{2*b+1} AS VARCHAR)))"
+        f" AS band_{b}"
+        for b in range(4)
+    )
+    band_union = "\nUNION ALL\n".join(
+        f"SELECT {b} AS band, band_{b} AS bh, doc_id FROM banded" for b in range(4)
+    )
+    jac = (
+        "round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /\n"
+        "             len(list_distinct(list_concat(x.s, y.s))), 4)"
+    )
+    return f"""
+WITH {_DUCK_NEAR_CORPUS}, {_DUCK_SHINGLES},
+samp AS (
+  SELECT * FROM sh
+  WHERE (CAST(('0x' || substr(md5('lshrecall:' || CAST(doc_id AS VARCHAR)),
+               1, 12)) AS BIGINT) % 10000) < 6000
+),
+sigs AS (SELECT doc_id, shingles, {sig_cols} FROM samp),
+banded AS (SELECT *, {band_cols} FROM sigs),
+allbands AS ({band_union}),
+det AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM allbands a JOIN allbands b USING (band, bh) WHERE a.doc_id < b.doc_id
+),
+keepb AS (SELECT band, bh FROM allbands GROUP BY band, bh HAVING count(*) <= 3),
+fb AS (SELECT ab.* FROM allbands ab JOIN keepb USING (band, bh)),
+detc AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fb a JOIN fb b USING (band, bh) WHERE a.doc_id < b.doc_id
+),
+dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM samp),
+t AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, {jac} AS jaccard
+  FROM dsh x JOIN dsh y ON x.doc_id < y.doc_id
+  WHERE {jac} >= 0.5
+)
+SELECT CAST(CASE WHEN jaccard >= 0.85 THEN 8500
+                 WHEN jaccard >= 0.7 THEN 7000 ELSE 5000 END AS BIGINT)
+         AS jaccard_bucket_bp,
+       CAST(count(*) AS BIGINT) AS n_true,
+       CAST(sum(CASE WHEN d.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_detected,
+       CAST(sum(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_detected_capped
+FROM t
+LEFT JOIN det d ON t.id_a = d.id_a AND t.id_b = d.id_b
+LEFT JOIN detc c ON t.id_a = c.id_a AND t.id_b = c.id_b
+GROUP BY 1
+"""
+
+
 def q_dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LSH pipeline with the production degenerate-bucket guard ON
     (max_bucket=3): buckets carrying no discrimination are dropped before
@@ -5221,6 +5334,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
         _sql_corpus_release_pipeline(),
     ),
     "curate_source_cap": (q_curate_source_cap, _SQL_SOURCE_CAP),
+    "dedup_lsh_recall_report": (
+        q_dedup_lsh_recall_report,
+        _sql_lsh_recall_report(),
+    ),
     # --- reference-parity crawl backbone (driver-visible) ---
     "s4_url_tsv_parse": (q_s4_url_tsv_parse, _SQL_S4),
     "s5_json_parse": (q_s5_json_parse, _SQL_S5),
@@ -5366,6 +5483,7 @@ _R6_WINDOW = [
     "f8_rfc_robots", "text_token_counts_subword", "text_normalize",
     "dedup_exact_normalized", "text_vocab_induction", "text_quality_gopher",
     "corpus_export_shards", "corpus_release_pipeline", "curate_source_cap",
+    "dedup_lsh_recall_report",
     # code changed in r6
     "mm_decode_real", "dedup_semantic_media",
     # last driver-checked in r4 (events_hourly / agg_pricing_summary /
@@ -5375,7 +5493,7 @@ _R6_WINDOW = [
     "dedup_simhash", "dedup_simhash_pairs", "dedup_embedding",
     "sim_topk_brute", "sim_lsh_buckets", "sim_ann_topk", "sim_ivf_topk",
     "text_lang_id", "text_quality", "text_token_counts", "text_fingerprint",
-    "text_embed", "mm_binary_meta", "mm_decode_stub",
+    "text_embed", "mm_binary_meta",
 ]
 assert len(_R6_WINDOW) == 50 and len(set(_R6_WINDOW)) == 50
 _REGISTRY = {
