@@ -61,3 +61,17 @@ def test_stage_survivors(spark):
     got = {r.doc_id: r.shard_id for r in sharded.collect()}
     assert set(got) == {1, 5}
     assert got[1] <= got[5]  # export preserves key order
+
+
+def test_release_plan_has_no_global_exchange(spark):
+    """The property that makes the pipeline survive 100 TB: no stage may
+    funnel through a single partition (the naive global-window export
+    would). Executed plan at sf0.001 via the driver entry."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["corpus_release_pipeline"](
+        spark, "/root/testdata/sf0.001"
+    )
+    df.collect()  # AQE finalizes the plan only after execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
