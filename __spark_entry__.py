@@ -514,7 +514,10 @@ def q_robots_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(d == 2, F.lit("Disallow: /redirect?to=http://x\n"))
         .otherwise(F.lit("Disallow:\n")),
     )
-    parsed = parse_robots_txt(hosts.withColumn("robots_txt", txt))
+    # persist: parsed feeds three branches (budgets, the gate broadcast,
+    # the final join) — each re-ran the hosts-distinct shuffle over the
+    # frontier plus the parse fold (guide §5)
+    parsed = parse_robots_txt(hosts.withColumn("robots_txt", txt)).persist()
     budgets = crawl_delay_budgets(parsed, window_ms=1000, default_budget=50)
     _allowed, blocked = robots_gate(frontier, parsed)
     n_blocked = blocked.groupBy("host").agg(F.count(F.lit(1)).alias("n_blocked"))
@@ -1102,9 +1105,12 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _dup_corpus(spark, sf_dir)
     scored = quality_metrics(lang_id(corpus))
+    # persist: gated feeds both the keeper aggregate and the final join —
+    # each branch otherwise re-runs the lang-ID script counts + quality
+    # regexps over the corpus (guide §5; the two heaviest projections here)
     gated = scored.where(
         (F.col("quality_score_bp") >= 5000) & (F.col("lang_guess") == "en")
-    )
+    ).persist()
     keepers = exact_dup_groups(gated).select(
         F.col("keep_id").alias("doc_id"),
         F.col("n_docs").cast("long").alias("n_copies"),
@@ -1212,9 +1218,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to the corpus (k×8 bytes/doc), and without this the 4-band self-join
     # re-derives them from the raw text 20× (plan audit: 20 FileScans → 2).
     # At 100 TB this is a signatures table written once, joined many times.
-    docs = with_shingles(_near_corpus(spark, sf_dir)).persist()
+    docs = with_shingles(_near_corpus(spark, sf_dir)).select(
+        "doc_id", "shingles"
+    ).persist()
     sigs = minhash_signatures(docs, k=8)
-    banded = lsh_band_hashes(sigs, k=8, rows_per_band=2).persist()
+    banded = lsh_band_hashes(sigs, k=8, rows_per_band=2).select(
+        "doc_id", "band_0", "band_1", "band_2", "band_3"
+    ).persist()
     # Broadcast gate from the band-bucket histogram (Σ c·(c−1)/2 over the
     # persisted band table) — an UPPER BOUND on candidate pairs that costs
     # one narrow aggregate, not a materialization of the pair self-join.
@@ -1316,6 +1326,7 @@ def q_dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample = (
         with_shingles(_near_corpus(spark, sf_dir))
         .where(sample_hash_col("doc_id", 6000, salt="lshrecall:"))
+        .select("doc_id", "shingles")
         .persist()
     )
     all_pairs = (
@@ -1328,7 +1339,7 @@ def q_dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     banded = lsh_band_hashes(
         minhash_signatures(sample, k=8), k=8, rows_per_band=2
-    ).persist()
+    ).select("doc_id", "band_0", "band_1", "band_2", "band_3").persist()
     det = lsh_candidate_pairs(banded, k=8, rows_per_band=2, broadcast_bands=True)
     detc = lsh_candidate_pairs(
         banded, k=8, rows_per_band=2, broadcast_bands=True, max_bucket=3
@@ -1413,9 +1424,13 @@ def q_dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     (max_bucket=3): buckets carrying no discrimination are dropped before
     pair generation; the oracle drops the same buckets via HAVING, so the
     cap SEMANTICS (not just the happy path) are hash-verified."""
-    docs = with_shingles(_near_corpus(spark, sf_dir)).persist()
+    docs = with_shingles(_near_corpus(spark, sf_dir)).select(
+        "doc_id", "shingles"
+    ).persist()
     sigs = minhash_signatures(docs, k=8)
-    banded = lsh_band_hashes(sigs, k=8, rows_per_band=2).persist()
+    banded = lsh_band_hashes(sigs, k=8, rows_per_band=2).select(
+        "doc_id", "band_0", "band_1", "band_2", "band_3"
+    ).persist()
     pairs = lsh_candidate_pairs(
         banded, k=8, rows_per_band=2, broadcast_bands=True, max_bucket=3
     )
@@ -2104,6 +2119,9 @@ def q_corpus_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text"
     )
     normed = normalize_text(docs).select("doc_id", "text_norm")
+    # persist: gated feeds the keeper aggregate AND the kept semi-join —
+    # each branch otherwise re-runs the normalize + Gopher regexp chains
+    # (the two heaviest projections in this pipeline; guide §5)
     gated = (
         gopher_quality(normed, text_col="text_norm")
         .where(
@@ -2113,6 +2131,7 @@ def q_corpus_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("dup_line_bp") <= 3000)
         )
         .select("doc_id", "text_norm")
+        .persist()
     )
     keep = exact_dup_groups(gated, id_col="doc_id", text_col="text_norm").select(
         F.col("keep_id").alias("doc_id")
@@ -3317,11 +3336,15 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         incremental_pair_bound,
     )
 
-    docs = with_shingles(_near_corpus(spark, sf_dir)).persist()
+    docs = with_shingles(_near_corpus(spark, sf_dir)).select(
+        "doc_id", "shingles"
+    ).persist()
     # one signature/band pass over corpus ∪ batch, split by id — at scale
     # the corpus side is the prebuilt signature table and only the batch
     # side is computed fresh; here both derive from one cached pass
-    banded = lsh_band_hashes(minhash_signatures(docs, k=8), k=8, rows_per_band=2).persist()
+    banded = lsh_band_hashes(minhash_signatures(docs, k=8), k=8, rows_per_band=2).select(
+        "doc_id", "band_0", "band_1", "band_2", "band_3"
+    ).persist()
     banded_base = banded.where(F.col("doc_id") < 100000)
     banded_new = banded.where(F.col("doc_id") >= 100000)
     ub = incremental_pair_bound(banded_base, banded_new)
@@ -3347,8 +3370,12 @@ def _sql_minhash_incremental() -> str:
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ganda_spark.operators.dedup import candidate_pair_bound, connected_components
 
-    docs = with_shingles(_near_corpus(spark, sf_dir)).persist()
-    banded = lsh_band_hashes(minhash_signatures(docs, k=8), k=8, rows_per_band=2).persist()
+    docs = with_shingles(_near_corpus(spark, sf_dir)).select(
+        "doc_id", "shingles"
+    ).persist()
+    banded = lsh_band_hashes(minhash_signatures(docs, k=8), k=8, rows_per_band=2).select(
+        "doc_id", "band_0", "band_1", "band_2", "band_3"
+    ).persist()
     ub = candidate_pair_bound(banded, k=8, rows_per_band=2)
     pairs = lsh_candidate_pairs(banded, k=8, rows_per_band=2, broadcast_bands=True)
     verified = jaccard_verify(pairs, docs, broadcast_pairs=ub <= 5_000_000).where(
@@ -3404,8 +3431,10 @@ def q_curate_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     corpus = _near_corpus(spark, sf_dir)
-    docs = with_shingles(corpus).persist()
-    banded = lsh_band_hashes(minhash_signatures(docs, k=8), k=8, rows_per_band=2).persist()
+    docs = with_shingles(corpus).select("doc_id", "shingles").persist()
+    banded = lsh_band_hashes(minhash_signatures(docs, k=8), k=8, rows_per_band=2).select(
+        "doc_id", "band_0", "band_1", "band_2", "band_3"
+    ).persist()
     ub = candidate_pair_bound(banded, k=8, rows_per_band=2)
     pairs = lsh_candidate_pairs(banded, k=8, rows_per_band=2, broadcast_bands=True)
     verified = jaccard_verify(pairs, docs, broadcast_pairs=ub <= 5_000_000).where(
@@ -4369,9 +4398,13 @@ def q_dedup_media_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "substring(payload, 1, CAST((length(payload) DIV 64) * 64 AS INT))"
         ).alias("payload"),
     )
-    sh = with_media_shingles(bt.unionByName(copies)).persist()
+    sh = with_media_shingles(bt.unionByName(copies)).select(
+        "doc_id", "shingles"
+    ).persist()
     sigs = minhash_signatures(sh, k=8)
-    banded = lsh_band_hashes(sigs, k=8, rows_per_band=2).persist()
+    banded = lsh_band_hashes(sigs, k=8, rows_per_band=2).select(
+        "doc_id", "band_0", "band_1", "band_2", "band_3"
+    ).persist()
     ub = candidate_pair_bound(banded, k=8, rows_per_band=2)
     pairs = lsh_candidate_pairs(banded, k=8, rows_per_band=2, broadcast_bands=True)
     verified = jaccard_verify(pairs, sh, broadcast_pairs=ub <= 5_000_000)
@@ -4745,9 +4778,13 @@ def q_dedup_spans_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("dup-"), num.cast("string")).alias("doc_id"),
         F.filter(F.col("spans"), lambda s: s["kind"] != "image").alias("spans"),
     )
-    sh = with_span_shingles(docs.unionByName(near)).persist()
+    sh = with_span_shingles(docs.unionByName(near)).select(
+        "doc_id", "shingles"
+    ).persist()
     sigs = minhash_signatures(sh, k=8)
-    banded = lsh_band_hashes(sigs, k=8, rows_per_band=2).persist()
+    banded = lsh_band_hashes(sigs, k=8, rows_per_band=2).select(
+        "doc_id", "band_0", "band_1", "band_2", "band_3"
+    ).persist()
     ub = candidate_pair_bound(banded, k=8, rows_per_band=2)
     pairs = lsh_candidate_pairs(banded, k=8, rows_per_band=2, broadcast_bands=True)
     verified = jaccard_verify(pairs, sh, broadcast_pairs=ub <= 5_000_000)
@@ -4982,7 +5019,12 @@ def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("</div></body></html>"),
         ),
     )
-    ext = extract_html(page, "page_html", "raw_text")
+    # project BEFORE the boilerplate pass (guide §2.3): its internal
+    # persist + three branches otherwise carry body/page_html/context —
+    # only (url, host, raw_text) survive into the output
+    ext = extract_html(page, "page_html", "raw_text").select(
+        "url", "host", "raw_text"
+    )
     clean = remove_boilerplate(ext, host_col="host", text_col="raw_text",
                                out_col="clean_text")
     q = quality_metrics(clean, "clean_text")
@@ -5079,7 +5121,7 @@ def q_f8_rfc_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     with no robots at all. URLs get four path shapes so every pattern
     family is exercised. Oracle = the decisions derived independently
     from the generating parameters."""
-    from ganda_spark.operators.robots import parse_robots_rfc, rfc_robots_gate
+    from ganda_spark.operators.robots import parse_robots_rfc, rfc_robots_tag
 
     frontier = seed_frontier(spark, sf_dir)
     seq_s = F.col("seq").cast("string")
@@ -5112,11 +5154,14 @@ def q_f8_rfc_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("User-agent: *\nDisallow: /*.php$\n"))
     )
     robots = hosts.where(F.col("_hc") != 3).select("host", txt.alias("robots_txt"))
-    parsed = parse_robots_rfc(robots, agent="ganda-spark")
-    allowed, blocked = rfc_robots_gate(fr, parsed)
-    tagged = allowed.withColumn("blocked", F.lit(False)).unionByName(
-        blocked.withColumn("blocked", F.lit(True))
-    )
+    # persist: the parsed rules feed two branches (the gate's broadcast
+    # side and the crawl-delay join) — each re-ran the hosts-distinct
+    # shuffle over the frontier plus the parse fold (guide §5)
+    parsed = parse_robots_rfc(robots, agent="ganda-spark").persist()
+    # ONE rule-match pass (rfc_robots_tag): the allowed/blocked split
+    # reassembled by union evaluated the per-URL match fold twice
+    # (guide §2.4); identical rows, plan halved — see OPTIMIZATION_r07.md
+    tagged = rfc_robots_tag(fr, parsed).withColumnRenamed("_blocked", "blocked")
     return tagged.join(
         parsed.select("host", "crawl_delay_ms"), "host", "left"
     ).select(

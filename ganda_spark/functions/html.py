@@ -121,6 +121,9 @@ def remove_boilerplate(
     min_docs: int = 3,
     min_frac_bp: int = 5000,
     max_lines_per_host: int = 1024,
+    cache_input: bool = True,
+    max_broadcast_hosts: int = 2_000_000,
+    cache_out: list | None = None,
 ) -> DataFrame:
     """Per-host repeated-line boilerplate filter.
 
@@ -136,7 +139,26 @@ def remove_boilerplate(
     Adds: `out_col` (text with boilerplate lines removed) and
     `n_boiler_removed` (lines dropped). One row per input row; input must
     be one row per document per host.
+
+    cache_input (r7, guide §5): the input feeds THREE branches (line
+    explode, per-host doc counts, the final join) — composed over an
+    expensive upstream (fetch→extract chains) the recompute tripled the
+    wall (OPTIMIZATION_r07.md has the measured before/after). Persisted
+    handles ride `cache_out` when given, else live for the session (the
+    one-shot-query contract used across this repo).
+
+    max_broadcast_hosts (r7, VERDICT r6 wrong #2): the per-host tables
+    (`ndocs`, and `bp` at up to hosts × `max_lines_per_host` hashes) were
+    FORCE-broadcast — tens of GB through the driver at web-scale host
+    counts (10^7-10^8). The hint is now gated on a host-count probe (a
+    bounded aggregate over the cached input, itself pre-materializing the
+    ndocs table); above the bound both joins fall back to plain shuffle
+    joins on the host key, which the plan already contains.
     """
+    if cache_input:
+        df = df.persist()
+        if cache_out is not None:
+            cache_out.append(df)
     parts = F.split(F.col(text_col), "\n")
     line_rows = df.select(
         F.col(host_col).alias("_h"),
@@ -150,8 +172,17 @@ def remove_boilerplate(
     ndocs = df.groupBy(F.col(host_col).alias("_h")).agg(
         F.count(F.lit(1)).alias("_n_docs")
     )
+    small_hosts = True
+    if max_broadcast_hosts is not None:
+        ndocs = ndocs.persist()
+        if cache_out is not None:
+            cache_out.append(ndocs)
+        small_hosts = (
+            ndocs.limit(max_broadcast_hosts + 1).count() <= max_broadcast_hosts
+        )
+    nd = F.broadcast(ndocs) if small_hosts else ndocs
     bp = (
-        freq.join(F.broadcast(ndocs), "_h")
+        freq.join(nd, "_h")
         .where(
             (F.col("_n_docs") >= min_docs)
             & (F.col("_n_line_docs") * 10_000 >= min_frac_bp * F.col("_n_docs"))
@@ -163,8 +194,10 @@ def remove_boilerplate(
             ).alias("_bp_lines")
         )
     )
+    if small_hosts:
+        bp = F.broadcast(bp)
     joined = df.join(
-        F.broadcast(bp), df[host_col] == bp["_h"], "left"
+        bp, df[host_col] == bp["_h"], "left"
     ).drop("_h")
     kept = F.filter(
         parts, lambda x: ~F.array_contains(F.col("_bp_lines"), F.md5(x))

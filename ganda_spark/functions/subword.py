@@ -121,8 +121,15 @@ def token_counts_subword(
             "n_subword_tokens", subword_count_col(text_col)
         )
         return out.drop("_vocab").withColumn("n_ws_tokens", ws)
-    # type-memoized path: explode lowercased words, fold once per type
-    rowed = df.withColumn("_swrow", F.monotonically_increasing_id())
+    # type-memoized path: explode lowercased words, fold once per type.
+    # PERSIST is load-bearing, not just a reuse win (ADVICE r6 medium):
+    # _swrow is monotonically_increasing_id over an otherwise-unpersisted
+    # plan that two branches (words→counts, and the join below) would
+    # evaluate independently — over a nondeterministic source the two
+    # evaluations could assign DIFFERENT ids and silently misjoin. The
+    # cache pins one id assignment for both branches (and saves the
+    # second upstream scan).
+    rowed = df.withColumn("_swrow", F.monotonically_increasing_id()).persist()
     words = rowed.select(
         "_swrow",
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("_swword"),

@@ -421,14 +421,24 @@ def connected_components(
     # distinct shuffle needed). The self-loops make the neighborhood min
     # include the vertex's own label, and the (u, u) rows carry the OLD
     # label through the agg.
+    # r7 (guide §2.3): ONE scan of the pair pipeline — the 4-way union
+    # re-executed the whole upstream (LSH band join + verify) once per
+    # branch; explode emits the same 4 rows per pair from a single pass.
     edges = (
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
-        .unionByName(pairs.select(F.col(id_a).alias("u"), F.col(id_a).alias("v")))
-        .unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_b).alias("v")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("u"), F.col(id_b).alias("v")),
+                    F.struct(F.col(id_b).alias("u"), F.col(id_a).alias("v")),
+                    F.struct(F.col(id_a).alias("u"), F.col(id_a).alias("v")),
+                    F.struct(F.col(id_b).alias("u"), F.col(id_b).alias("v")),
+                )
+            ).alias("_e")
+        )
+        .select(F.col("_e.u").alias("u"), F.col("_e.v").alias("v"))
         .persist()
     )
-    edges.count()  # materializes the edge cache (one job, 4 scans of pairs)
+    edges.count()  # materializes the edge cache (one job, ONE scan of pairs)
     # initial labels: each vertex labels itself — the self-loop rows are
     # exactly the vertex set (computed from the cache, used in iteration 1)
     labels = (

@@ -120,6 +120,16 @@ def pagerank(
     ranks = nodes.select("node", F.lit(PPM).cast("long").alias("rank_ppm"))
     for i in range(1, iterations + 1):
         if dangling:
+            # r7 (guide §5): the dangling branch references the previous
+            # ranks TWICE per iteration (the D aggregate below AND the
+            # contribs join) — unpersisted, that doubled the evaluated
+            # subtree per iteration (2^iters full re-runs; measured 21.7 s
+            # → the fix landed q_crawl_pagerank_normalized at seconds).
+            # Node-table-sized persist; handles ride cache_out like
+            # ed/nodes, released with the session for one-shot callers.
+            ranks = ranks.persist()
+            if cache_out is not None:
+                cache_out.append(ranks)
             # D = Σ r_{i-1} over sinks — a 1-row aggregate of the previous
             # iteration's ranks, broadcast back into the update
             d = F.broadcast(

@@ -323,15 +323,21 @@ def parse_robots_rfc(
     )
 
 
-def rfc_robots_gate(
-    frontier: DataFrame, robots: DataFrame
-) -> tuple[DataFrame, DataFrame]:
-    """(allowed, blocked) under RFC 9309 matching: among the rules whose
-    pattern matches the URL path, the LONGEST pattern wins; on a length
-    tie Allow beats Disallow (§2.2.2 least-restrictive rule); no matching
-    rule — or no robots row for the host — means allowed. The rules table
-    is host-sized and broadcast; the per-URL decision is a filter +
-    array_max over the (small) rules array, no shuffle, no UDF."""
+def rfc_robots_tag(
+    frontier: DataFrame, robots: DataFrame, blocked_col: str = "_blocked"
+) -> DataFrame:
+    """ONE-PASS RFC 9309 verdicts: frontier plus a boolean `blocked_col`.
+    Callers that need BOTH sides of the split should consume this frame
+    directly — `rfc_robots_gate` filters it twice, which re-runs the
+    (expensive) per-URL rule-match fold once per side when the result is
+    reassembled by union (guide §2.4; measured 2× on the f8_rfc entry).
+
+    Matching: among the rules whose pattern matches the URL path, the
+    LONGEST pattern wins; on a length tie Allow beats Disallow (§2.2.2
+    least-restrictive rule); no matching rule — or no robots row for the
+    host — means allowed. The rules table is host-sized and broadcast;
+    the per-URL decision is a filter + array_max over the (small) rules
+    array, no shuffle, no UDF."""
     r = F.broadcast(robots.select("host", "rfc_rules"))
     joined = frontier.join(r, "host", "left")
     raw_path = F.parse_url(F.col("url"), F.lit("PATH"))
@@ -361,7 +367,15 @@ def rfc_robots_gate(
     blocked_pred = F.when(
         F.col("rfc_rules").isNotNull() & best.isNotNull(), ~best["allow"]
     ).otherwise(F.lit(False))
-    tagged = joined.withColumn("_blocked", blocked_pred).drop("rfc_rules")
+    return joined.withColumn(blocked_col, blocked_pred).drop("rfc_rules")
+
+
+def rfc_robots_gate(
+    frontier: DataFrame, robots: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """(allowed, blocked) split of `rfc_robots_tag` — see its docstring;
+    prefer the tag form when both sides are consumed in one plan."""
+    tagged = rfc_robots_tag(frontier, robots)
     allowed = tagged.where(~F.col("_blocked")).drop("_blocked")
     blocked = tagged.where(F.col("_blocked")).drop("_blocked")
     return allowed, blocked

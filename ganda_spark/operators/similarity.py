@@ -300,7 +300,7 @@ def kmeans_centroids(
     cent = emb.where(F.col(id_col) < n_centroids).select(
         F.col(id_col).cast("long").alias(id_col), as_double(F.col(vec_col)).alias(vec_col)
     )
-    for _ in range(iters):
+    for it in range(iters):
         assigned = ivf_assign(emb, cent, id_col, vec_col, nprobe=1)
         if dim <= wide_dim_limit:
             sums = [
@@ -351,6 +351,18 @@ def kmeans_centroids(
                     F.expr("transform(_pm, x -> x._m)").alias(vec_col),
                 )
             )
+        # r7 (guide §5): LOCALIZE each INTERMEDIATE iteration's centroid
+        # table (C rows — bounded by definition) so iteration i+1 starts
+        # from a LocalRelation instead of re-evaluating the whole nested
+        # Lloyd's chain per action (measured 6.7 s → 3.8 s for the
+        # 2-iteration localized form at sf0.1). The LAST iteration stays
+        # lazy: localized_kmeans_centroids — the multi-consumer entrypoint
+        # — collects it exactly once. Identical values: the collect/
+        # createDataFrame round-trip of longs and doubles is exact.
+        if it < iters - 1:
+            cent = emb.sparkSession.createDataFrame(
+                cent.collect(), f"{id_col} long, {vec_col} array<double>"
+            )
     return cent
 
 
@@ -368,10 +380,16 @@ def ivf_kmeans_topk(
     """IVF top-k over LEARNED centroids: identical probe/score plan to
     `ivf_topk`, but the coarse quantizer is `kmeans_centroids` — centroids
     move to the data's density, so lists are balanced and recall at fixed
-    nprobe improves on clustered corpora (pinned by the recall test)."""
+    nprobe improves on clustered corpora (pinned by the recall test).
+
+    r7: centroids are LOCALIZED (C-row collect) — the corpus and probe
+    assignments are two plan branches, and a lazy centroid chain was
+    re-evaluated once per branch (guide §5)."""
     from pyspark.sql import Window
 
-    centroids = kmeans_centroids(emb, n_centroids, iters, dim, id_col, vec_col)
+    centroids = localized_kmeans_centroids(
+        emb, n_centroids, iters, dim, id_col, vec_col
+    )
     corpus = ivf_assign(emb, centroids, id_col, vec_col, nprobe=1).select(
         F.col(id_col).alias("nid"),
         as_double(F.col(vec_col)).alias("nv"),
@@ -425,6 +443,164 @@ def localized_kmeans_centroids(
     )
 
 
+def round_ge_boundary(threshold_bp: int) -> float:
+    """The smallest double B with round(B, 4) >= threshold_bp/10⁴ under
+    SPARK's Round semantics — so the per-pair predicate
+    `round(cos, 4) >= thr` collapses to the single compare `cos >= B`
+    (plus Spark's NaN-is-greatest rule, handled by callers).
+
+    Spark's Round(double, 4) goes through
+    BigDecimal(Double.toString(x)).setScale(4, HALF_UP); Python's
+    Decimal(repr(x)) reproduces that decimal exactly, and the predicate
+    is monotone in x, so a float-bit binary search finds the exact
+    boundary. Verified against Spark over boundary-adjacent ulp ladders
+    and 4k random draws (0 mismatches; the NaN row needs the callers'
+    NaN OR-clause because Spark orders NaN above every double)."""
+    import math
+    import struct
+    from decimal import ROUND_HALF_UP, Decimal
+
+    thr = threshold_bp / 10_000.0
+
+    def pred(x: float) -> bool:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+        ) >= thr
+
+    lo, hi = thr - 0.01, thr + 0.01
+    if pred(lo):
+        return lo  # degenerate (thr tiny); callers never hit this
+    blo = struct.unpack("<q", struct.pack("<d", lo))[0]
+    bhi = struct.unpack("<q", struct.pack("<d", hi))[0]
+    while bhi - blo > 1:
+        mid = (blo + bhi) // 2
+        if pred(struct.unpack("<d", struct.pack("<q", mid))[0]):
+            bhi = mid
+        else:
+            blo = mid
+    return struct.unpack("<d", struct.pack("<q", bhi))[0]
+
+
+def _pair_dup_arrays(ids, vecs, boundary: float, is_new=None, block: int = 4096):
+    """NumPy core of the within-list SemDeDup pair scan: for every row j
+    (every NEW row j when `is_new` is given), the minimum candidate id i
+    with cosine(i, j) passing `boundary` (or NaN — Spark orders NaN above
+    every double, so a NaN cosine PASSES round(cos,4) >= thr, pinned by
+    test). Candidates: i with id < j's id (full mode); any base row OR a
+    new row with smaller id (incremental mode, matching the operator's
+    p_base/p_new pair union).
+
+    EXACT Spark arithmetic by construction: dots and squared norms
+    accumulate dimension-sequentially (`acc = acc + x_d·y_d`, vectorized
+    over pairs, scalar order per pair identical to the
+    aggregate(zip_with) fold), cosine is one divide of the one-product
+    norm pair — every IEEE op matches the Column expression; the
+    round-threshold is the precomputed exact boundary. Pairs of
+    equal-but-nonstandard-length vectors score over their own length
+    (zip_with semantics); mixed-length pairs yield NULL in Spark and are
+    simply not candidates here. Memory is blocked: never more than
+    block² floats live at once, so degenerate lists cost time, not heap.
+
+    Returns (j_ids, dup_ids) int64 arrays."""
+    import numpy as np
+
+    big = np.iinfo(np.int64).max
+    lens = np.array([-1 if v is None else len(v) for v in vecs], dtype=np.int64)
+    out_j: list = []
+    out_d: list = []
+    for L in np.unique(lens):
+        if L < 0:
+            continue
+        sel = np.nonzero(lens == L)[0]
+        order = sel[np.argsort(ids[sel], kind="stable")]
+        sid = ids[order]
+        n = len(order)
+        if n < 2:
+            continue
+        V = np.empty((n, max(int(L), 1)), dtype=np.float64)
+        for r, oi in enumerate(order):
+            if L > 0:
+                V[r, :] = vecs[oi]
+        nacc = np.zeros(n)
+        for d in range(int(L)):
+            c = V[:, d]
+            nacc = nacc + c * c
+        nrm = np.sqrt(nacc)
+        nw = is_new[order] if is_new is not None else None
+        bestid = np.full(n, big)
+        for jb in range(0, n, block):
+            je = min(jb + block, n)
+            i_hi = n if is_new is not None else je
+            for ib in range(0, i_hi, block):
+                ie = min(ib + block, i_hi)
+                D = np.zeros((ie - ib, je - jb))
+                for d in range(int(L)):
+                    D += V[ib:ie, d][:, None] * V[jb:je, d][None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    C = D / (nrm[ib:ie][:, None] * nrm[jb:je][None, :])
+                M = (C >= boundary) | np.isnan(C)
+                ipos = np.arange(ib, ie)[:, None]
+                jpos = np.arange(jb, je)[None, :]
+                if is_new is not None:
+                    base_i = (nw[ib:ie] == 0)[:, None]
+                    new_i = (nw[ib:ie] == 1)[:, None]
+                    jnew = (nw[jb:je] == 1)[None, :]
+                    M &= jnew & (base_i | (new_i & (ipos < jpos)))
+                else:
+                    M &= ipos < jpos
+                if not M.any():
+                    continue
+                anyc = M.any(axis=0)
+                first = M.argmax(axis=0)
+                cand = np.where(anyc, sid[ib:ie][first], big)
+                bestid[jb:je] = np.minimum(bestid[jb:je], cand)
+        hit = bestid < big
+        out_j.append(sid[hit])
+        out_d.append(bestid[hit])
+    if not out_j:
+        import numpy as np
+
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    return np.concatenate(out_j), np.concatenate(out_d)
+
+
+def list_pair_dups(
+    assigned: DataFrame,
+    threshold_bp: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str = "list_id",
+) -> DataFrame:
+    """Within-list duplicate verdicts (_j, dup_of) — the SemDeDup pair
+    scan as ONE grouped NumPy pass (guide §4.2): the Catalyst self-join
+    form shuffled the list twice and paid ~100 µs of interpreted
+    higher-order fold PER PAIR (measured: a 40M-pair scan spent 122 s in
+    the dot folds alone; the unrolled-codegen alternative measured
+    SLOWER still — see OPTIMIZATION_r07.md). Here each k-means list
+    crosses the Arrow boundary ONCE (N rows, one shuffle — the join
+    shuffled 2N) and the quadratic loop runs vectorized in NumPy with
+    bit-exact Spark arithmetic (_pair_dup_arrays). Same skew posture as
+    the join it replaces: one list = one task."""
+    import pandas as pd
+
+    boundary = round_ge_boundary(threshold_bp)
+    rows = assigned.select(
+        F.col(list_col).alias("_slist"),
+        F.col(id_col).cast("long").alias("_sid"),
+        as_double(F.col(vec_col)).alias("_sv"),
+    )
+
+    def verdicts(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ids = pdf["_sid"].to_numpy(np.int64)
+        vecs = pdf["_sv"].tolist()
+        j, d = _pair_dup_arrays(ids, vecs, boundary)
+        return pd.DataFrame({"_j": j, "dup_of": d})
+
+    return rows.groupBy("_slist").applyInPandas(verdicts, "_j long, dup_of long")
+
+
 def semantic_dedup(
     emb: DataFrame,
     n_centroids: int = 16,
@@ -434,6 +610,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    cache_out: list | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
     near-duplicate pruning that scales by CLUSTERING FIRST — k-means the
@@ -467,31 +644,18 @@ def semantic_dedup(
         if centroids is not None
         else localized_kmeans_centroids(emb, n_centroids, iters, dim, id_col, vec_col)
     )
-    assigned = ivf_assign(emb, cent, id_col, vec_col, nprobe=1)
-    a = assigned.select(
-        "list_id",
-        F.col(id_col).alias("_i"),
-        as_double(F.col(vec_col)).alias("_av"),
-        norm(as_double(F.col(vec_col))).alias("_an"),
-    )
-    b = assigned.select(
-        "list_id",
-        F.col(id_col).alias("_j"),
-        as_double(F.col(vec_col)).alias("_bv"),
-        norm(as_double(F.col(vec_col))).alias("_bn"),
-    )
-    pairs = (
-        a.join(b, "list_id")
-        .where(F.col("_i") < F.col("_j"))
-        .select(
-            "_j", "_i",
-            F.round(
-                cosine_pre(F.col("_av"), F.col("_an"), F.col("_bv"), F.col("_bn")), 4
-            ).alias("_cos"),
-        )
-        .where(F.col("_cos") >= F.lit(threshold_bp) / 10_000.0)
-    )
-    dup = pairs.groupBy("_j").agg(F.min("_i").alias("dup_of"))
+    # persist: assigned feeds the pair scan AND the verdict join — without
+    # it each branch re-runs the upstream embedding projection + corpus
+    # scan (guide §5). One-shot callers leak a bounded corpus-row cache
+    # for the session; loop callers pass cache_out and unpersist.
+    assigned = ivf_assign(emb, cent, id_col, vec_col, nprobe=1).persist()
+    if cache_out is not None:
+        cache_out.append(assigned)
+    # r7: the within-list pair scan runs as ONE grouped NumPy pass with
+    # bit-exact Spark arithmetic (list_pair_dups) — the Catalyst
+    # self-join paid ~100 µs of interpreted fold per pair and shuffled
+    # the corpus twice (measured 2.5× on the entry at 10× scale)
+    dup = list_pair_dups(assigned, threshold_bp, id_col, vec_col)
     out = assigned.join(
         dup, F.col(id_col) == F.col("_j"), "left"
     ).drop("_j")
@@ -705,42 +869,22 @@ def semantic_dedup_capped(
         if centroids is not None
         else localized_kmeans_centroids(emb, n_centroids, iters, dim, id_col, vec_col)
     )
-    assigned = ivf_assign(emb, cent, id_col, vec_col, nprobe=1)
+    # assigned feeds 5 branches (histogram, the small pair scan, the
+    # big-list group scan, the verdict join); r7: persist UNCONDITIONALLY
+    # (guide §5) — one-shot callers leak a bounded corpus-row cache for
+    # the session; loop callers pass cache_out and unpersist as before.
+    assigned = ivf_assign(emb, cent, id_col, vec_col, nprobe=1).persist()
     if cache_out is not None:
-        # assigned feeds 5 branches (histogram, both small pair sides, the
-        # big-list group scan, the verdict join); persisting it trades one
-        # materialization for 4 recomputed corpus scans + broadcast joins
-        assigned = assigned.persist()
         cache_out.append(assigned)
     sizes = (
         assigned.groupBy("list_id").agg(F.count(F.lit(1)).alias("_list_n"))
     )
     sized = assigned.join(F.broadcast(sizes), "list_id")
     small = sized.where(F.col("_list_n") <= max_list)
-    a = small.select(
-        "list_id",
-        F.col(id_col).alias("_i"),
-        as_double(F.col(vec_col)).alias("_av"),
-        norm(as_double(F.col(vec_col))).alias("_an"),
-    )
-    b = small.select(
-        "list_id",
-        F.col(id_col).alias("_j"),
-        as_double(F.col(vec_col)).alias("_bv"),
-        norm(as_double(F.col(vec_col))).alias("_bn"),
-    )
-    pairs = (
-        a.join(b, "list_id")
-        .where(F.col("_i") < F.col("_j"))
-        .select(
-            "_j", "_i",
-            F.round(
-                cosine_pre(F.col("_av"), F.col("_an"), F.col("_bv"), F.col("_bn")), 4
-            ).alias("_cos"),
-        )
-        .where(F.col("_cos") >= F.lit(threshold_bp) / 10_000.0)
-    )
-    dup_small = pairs.groupBy("_j").agg(F.min("_i").alias("dup_of"))
+    # r7: grouped NumPy pair scan (list_pair_dups) replaces the Catalyst
+    # self-join — identical verdicts, one shuffle instead of two, no
+    # per-pair interpreted fold
+    dup_small = list_pair_dups(small, threshold_bp, id_col, vec_col)
     big = sized.where(F.col("_list_n") > max_list).select(
         "list_id",
         F.col(id_col).alias("_j"),
@@ -789,9 +933,19 @@ def semantic_dedup_incremental(
     table, restricted to the new rows (pinned by test).
 
     Plan: with broadcast_new=True (the normal case — the batch is orders
-    of magnitude smaller than the corpus) the corpus side NEVER shuffles:
-    one corpus scan joined against the broadcast batch per stage. Returns
-    rows for the NEW batch only, same schema as semantic_dedup."""
+    of magnitude smaller than the corpus) the corpus side NEVER shuffles.
+    r7 (guide §4.2): the batch is LOCALIZED once (driver-bounded exactly
+    like the broadcast it replaces); new-vs-new verdicts are computed
+    driver-side in NumPy, and base-vs-new runs as mapInPandas over the
+    corpus scan against the in-process batch — still zero corpus
+    shuffles, but the per-candidate cosine is a vectorized NumPy op with
+    bit-exact Spark arithmetic (_pair_dup_arrays' accumulation contract)
+    instead of ~100 µs of interpreted fold per candidate pair.
+    broadcast_new=False keeps the shuffle-join fallback for batches too
+    big to localize. Returns rows for the NEW batch only, same schema as
+    semantic_dedup."""
+    import pandas as pd
+
     cent = (
         centroids
         if centroids is not None
@@ -799,40 +953,160 @@ def semantic_dedup_incremental(
             emb_base, n_centroids, iters, dim, id_col, vec_col
         )
     )
-    new_assigned = ivf_assign(emb_new, cent, id_col, vec_col, nprobe=1)
-    new_b = new_assigned.select(
-        "list_id",
-        F.col(id_col).alias("_j"),
-        as_double(F.col(vec_col)).alias("_bv"),
-        norm(as_double(F.col(vec_col))).alias("_bn"),
-    )
-    nb = F.broadcast(new_b) if broadcast_new else new_b
-    base_a = ivf_assign(emb_base, cent, id_col, vec_col, nprobe=1).select(
-        "list_id",
-        F.col(id_col).alias("_i"),
-        as_double(F.col(vec_col)).alias("_av"),
-        norm(as_double(F.col(vec_col))).alias("_an"),
-    )
-    thr = F.lit(threshold_bp) / 10_000.0
-    cos_ab = cosine_pre(F.col("_av"), F.col("_an"), F.col("_bv"), F.col("_bn"))
-    p_base = (
-        base_a.join(nb, "list_id")
-        .where(F.round(cos_ab, 4) >= thr)
-        .select("_j", "_i")
-    )
-    new_a = new_assigned.select(
-        "list_id",
-        F.col(id_col).alias("_i"),
-        as_double(F.col(vec_col)).alias("_av"),
-        norm(as_double(F.col(vec_col))).alias("_an"),
-    )
-    p_new = (
-        new_a.join(nb, "list_id")
-        .where(F.col("_i") < F.col("_j"))
-        .where(F.round(cos_ab, 4) >= thr)
-        .select("_j", "_i")
-    )
-    dup = p_base.unionByName(p_new).groupBy("_j").agg(F.min("_i").alias("dup_of"))
+    # persist: new_assigned feeds the pair stages and the verdict join —
+    # batch-sized, cheap insurance against re-running the batch embedding
+    new_assigned = ivf_assign(emb_new, cent, id_col, vec_col, nprobe=1).persist()
+    if not broadcast_new:
+        new_b = new_assigned.select(
+            "list_id",
+            F.col(id_col).alias("_j"),
+            as_double(F.col(vec_col)).alias("_bv"),
+            norm(as_double(F.col(vec_col))).alias("_bn"),
+        )
+        base_a = ivf_assign(emb_base, cent, id_col, vec_col, nprobe=1).select(
+            "list_id",
+            F.col(id_col).alias("_i"),
+            as_double(F.col(vec_col)).alias("_av"),
+            norm(as_double(F.col(vec_col))).alias("_an"),
+        )
+        thr = F.lit(threshold_bp) / 10_000.0
+        cos_ab = cosine_pre(F.col("_av"), F.col("_an"), F.col("_bv"), F.col("_bn"))
+        p_base = (
+            base_a.join(new_b, "list_id")
+            .where(F.round(cos_ab, 4) >= thr)
+            .select("_j", "_i")
+        )
+        new_a = new_assigned.select(
+            "list_id",
+            F.col(id_col).alias("_i"),
+            as_double(F.col(vec_col)).alias("_av"),
+            norm(as_double(F.col(vec_col))).alias("_an"),
+        )
+        p_new = (
+            new_a.join(new_b, "list_id")
+            .where(F.col("_i") < F.col("_j"))
+            .where(F.round(cos_ab, 4) >= thr)
+            .select("_j", "_i")
+        )
+        dup = (
+            p_base.unionByName(p_new).groupBy("_j").agg(F.min("_i").alias("dup_of"))
+        )
+    else:
+        import numpy as np
+
+        spark = emb_base.sparkSession
+        boundary = round_ge_boundary(threshold_bp)
+        batch_rows = new_assigned.select(
+            F.col("list_id").cast("long").alias("_l"),
+            F.col(id_col).cast("long").alias("_sid"),
+            as_double(F.col(vec_col)).alias("_sv"),
+        ).collect()
+        # per-(list, length) new-side matrices with EXACT sequential norms
+        groups: dict = {}
+        for r in batch_rows:
+            v = r["_sv"]
+            key = (r["_l"], -1 if v is None else len(v))
+            groups.setdefault(key, ([], []))
+            groups[key][0].append(r["_sid"])
+            groups[key][1].append(v)
+        packed: dict = {}
+        for (lid, ln), (gids, gvecs) in groups.items():
+            if ln < 0:
+                continue
+            gi = np.asarray(gids, dtype=np.int64)
+            gv = np.empty((len(gids), max(ln, 1)), dtype=np.float64)
+            for rix, vv in enumerate(gvecs):
+                if ln > 0:
+                    gv[rix, :] = vv
+            nacc = np.zeros(len(gids))
+            for d in range(ln):
+                c = gv[:, d]
+                nacc = nacc + c * c
+            packed[(lid, ln)] = (gi, gv, np.sqrt(nacc))
+        bc = spark.sparkContext.broadcast((packed, boundary))
+
+        # new-vs-new verdicts: the batch is already local — compute here
+        nn_ids = np.asarray([r["_sid"] for r in batch_rows], dtype=np.int64)
+        nn_lists = np.asarray([r["_l"] for r in batch_rows], dtype=np.int64)
+        nn_vecs = [r["_sv"] for r in batch_rows]
+        partials: list[tuple[int, int]] = []
+        for lid in np.unique(nn_lists):
+            ix = np.nonzero(nn_lists == lid)[0]
+            jj, dd = _pair_dup_arrays(
+                nn_ids[ix], [nn_vecs[i] for i in ix], boundary
+            )
+            partials += [(int(a), int(b)) for a, b in zip(jj, dd)]
+
+        def base_hits(it):
+            bpacked, bnd = bc.value
+            big = np.iinfo(np.int64).max
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                lids = pdf["_l"].to_numpy(np.int64)
+                bids = pdf["_sid"].to_numpy(np.int64)
+                bvecs = pdf["_sv"].tolist()
+                blens = np.array(
+                    [-1 if v is None else len(v) for v in bvecs], dtype=np.int64
+                )
+                outs: dict[int, int] = {}
+                for (lid, ln), (gi, gv, gn) in bpacked.items():
+                    sel = np.nonzero((lids == lid) & (blens == ln))[0]
+                    if not len(sel):
+                        continue
+                    bv = np.empty((len(sel), max(ln, 1)), dtype=np.float64)
+                    for rix, oi in enumerate(sel):
+                        if ln > 0:
+                            bv[rix, :] = bvecs[oi]
+                    nacc = np.zeros(len(sel))
+                    for d in range(ln):
+                        c = bv[:, d]
+                        nacc = nacc + c * c
+                    bn = np.sqrt(nacc)
+                    D = np.zeros((len(sel), len(gi)))
+                    for d in range(ln):
+                        D += bv[:, d][:, None] * gv[:, d][None, :]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        C = D / (bn[:, None] * gn[None, :])
+                    M = (C >= bnd) | np.isnan(C)
+                    if not M.any():
+                        continue
+                    # min base id per new column within this Arrow batch
+                    sid = bids[sel]
+                    order = np.argsort(sid, kind="stable")
+                    Ms = M[order]
+                    anyc = Ms.any(axis=0)
+                    first = Ms.argmax(axis=0)
+                    cand = np.where(anyc, sid[order][first], big)
+                    for jx in np.nonzero(anyc)[0]:
+                        j = int(gi[jx])
+                        c0 = int(cand[jx])
+                        if j not in outs or c0 < outs[j]:
+                            outs[j] = c0
+                yield pd.DataFrame(
+                    {"_j": list(outs.keys()), "dup_of": list(outs.values())},
+                    dtype="int64",
+                )
+
+        base_in = ivf_assign(emb_base, cent, id_col, vec_col, nprobe=1).select(
+            F.col("list_id").cast("long").alias("_l"),
+            F.col(id_col).cast("long").alias("_sid"),
+            as_double(F.col(vec_col)).alias("_sv"),
+        )
+        p_base = base_in.mapInPandas(base_hits, "_j long, dup_of long")
+        p_new = spark.createDataFrame(
+            pd.DataFrame(partials, columns=["_j", "dup_of"], dtype="int64")
+            if partials
+            else pd.DataFrame({"_j": pd.Series(dtype="int64"),
+                               "dup_of": pd.Series(dtype="int64")}),
+            "_j long, dup_of long",
+        )
+        dup = (
+            p_base.unionByName(p_new)
+            .groupBy("_j")
+            .agg(F.min("dup_of").alias("dup_of"))
+            .select("_j", "dup_of")
+        )
     out = new_assigned.join(dup, F.col(id_col) == F.col("_j"), "left").drop("_j")
     return out.withColumn(
         "is_semdup", F.col("dup_of").isNotNull()

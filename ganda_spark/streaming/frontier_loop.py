@@ -274,13 +274,26 @@ class CrawlDriver:
         frontier = self._read_frontier(snap.generation)
         seen = self._read_seen(snap.generation)
         if self.content_dedup:
-            try:
-                self._seen_content = self._read_table(
-                    snap.generation, "seen_content", "content_adds", None
-                )
-            except ValueError:
-                # checkpoints predate the flag — start content state empty
-                pass
+            # hash-domain guard (ADVICE r6): a 'body'-mode checkpoint holds
+            # raw-byte md5s, a 'text'-mode one extracted-text md5s — resuming
+            # across modes would silently compare incompatible hashes
+            # (readmitting mirrors or never matching). Mode mismatch gets
+            # the same treatment as pre-flag checkpoints: content state
+            # restarts empty (conservative — duplicates may be refetched
+            # once, never wrongly dropped).
+            ckpt_mode = (snap.manifest.get("metrics") or {}).get(
+                "content_dedup_on"
+            )
+            if ckpt_mode is not None and ckpt_mode != self.content_dedup_on:
+                pass  # keep the empty seen_content initialized above
+            else:
+                try:
+                    self._seen_content = self._read_table(
+                        snap.generation, "seen_content", "content_adds", None
+                    )
+                except ValueError:
+                    # checkpoints predate the flag — start content state empty
+                    pass
         if self.seen_strategy == "hybrid":
             # resume: rebuild the bloom ONCE from the committed seen table
             # (treeAggregate — sqrt(P) driver ingress, operators/seen.py)
@@ -495,6 +508,10 @@ class CrawlDriver:
             "results": n_results,
             "errors": errors.count(),
         }
+        if self.content_dedup:
+            # recorded so resume can detect a hash-domain switch
+            # (ADVICE r6: 'body' vs 'text' hashes are incompatible)
+            metrics["content_dedup_on"] = self.content_dedup_on
         if self.content_dedup:
             # cached-scan counts over the persisted fetch output
             metrics["mirrors_dropped"] = results_all.count() - n_results

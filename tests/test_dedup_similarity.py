@@ -358,9 +358,10 @@ def test_connected_components_upstream_runs_once(spark):
     re-execute the upstream pair pipeline (in q_dedup_clusters that is the
     LSH band self-join + jaccard verify), and the changed-count rides in
     the SAME action that materializes each iteration's cache. Proven with
-    an accumulator on the pair source: it must tick exactly FOUR times per
-    edge (the symmetrize + self-loop union branches, materialized once at
-    init), regardless of how many label iterations run."""
+    an accumulator on the pair source: it must tick exactly ONCE per edge
+    (r7: the symmetrize + self-loop variants are exploded from a SINGLE
+    scan of the pair pipeline — the 4-way union used to scan it 4×),
+    regardless of how many label iterations run."""
     from pyspark.sql.types import LongType, StructField, StructType
 
     from ganda_spark.operators.dedup import connected_components
@@ -387,10 +388,10 @@ def test_connected_components_upstream_runs_once(spark):
     # one init job + one spool-write per iteration (the changed-count is an
     # observation ON the write) — no convergence-probe action
     assert stats["actions"] == stats["iterations"] + 1
-    # each edge scanned exactly 4× (symmetrize + self-loop branches at the
-    # single init materialization), then never again — iterations read the
-    # edge CACHE, not the upstream pair pipeline
-    assert acc.value == 4 * len(edges)
+    # each edge scanned exactly ONCE (one explode pass at the init
+    # materialization), then never again — iterations read the edge
+    # CACHE, not the upstream pair pipeline
+    assert acc.value == len(edges)
 
 
 def test_keep_best_per_cluster(spark):

@@ -673,3 +673,35 @@ def test_content_dedup_on_rejects_unknown(spark, ckpt):
     with pytest.raises(ValueError, match="content_dedup_on"):
         CrawlDriver(spark, cfg, ckpt, content_dedup=True,
                     content_dedup_on="soup")
+
+
+def test_content_dedup_mode_switch_resets_content_state(spark, ckpt):
+    """ADVICE r6: a 'body'-mode checkpoint holds raw-byte md5s — resuming
+    with content_dedup_on='text' must NOT compare against them. The
+    resume starts content state empty (pre-flag-checkpoint treatment):
+    conservative refetch, never a silent cross-domain hash compare."""
+    cfg = EngineConfig(retries=1, request_workers=4, per_host_budget=1000)
+    seed = _mirror_seed(spark, pages=4, variants=2)
+    d1 = CrawlDriver(
+        spark, cfg, ckpt, fetcher=_mirror_fetcher, content_dedup=True,
+        content_dedup_on="body", global_budget=4,
+    )
+    gen, frontier, seen = d1.load_state(seed)
+    d1.run_generation(gen, frontier, seen)
+    store = CheckpointStore(ckpt)
+    last = store.latest()
+    assert last.manifest["metrics"]["content_dedup_on"] == "body"
+    n_committed = store.read(spark, last.generation, "seen_content").count()
+    assert n_committed > 0
+    d2 = CrawlDriver(
+        spark, cfg, ckpt, fetcher=_mirror_fetcher, content_dedup=True,
+        content_dedup_on="text", global_budget=4,
+    )
+    d2.load_state(seed)
+    assert d2._seen_content.count() == 0  # reset, not reused
+    d3 = CrawlDriver(
+        spark, cfg, ckpt, fetcher=_mirror_fetcher, content_dedup=True,
+        content_dedup_on="body", global_budget=4,
+    )
+    d3.load_state(seed)
+    assert d3._seen_content.count() == n_committed  # same mode → reused

@@ -1,0 +1,239 @@
+"""r7 optimization-round guards: every plan-shape change here must keep
+operator OUTPUT identical — these tests pin the equivalences the
+OPTIMIZATION_r07.md claims rest on."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --- take_best two-level top-k (VERDICT r6 wrong #1) -----------------------
+
+
+def _skewed_scores(spark, n_hot=400, n_cold=40):
+    rows = [(i, "hot", i % 97) for i in range(n_hot)] + [
+        (10_000 + i, f"cold{i % 7}", i % 13) for i in range(n_cold)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, score long")
+
+
+def test_take_best_two_level_equals_one_level(spark):
+    from ganda_spark.operators.sampling import take_best
+
+    df = _skewed_scores(spark).repartition(8)
+    one = take_best(df, ["source"], 5, "score", "doc_id", two_level=False)
+    two = take_best(df, ["source"], 5, "score", "doc_id", two_level=True)
+    key = lambda r: (r.source, r.keep_rank, r.doc_id)  # noqa: E731
+    assert sorted(map(key, one.collect())) == sorted(map(key, two.collect()))
+
+
+def test_take_best_two_level_plan_shape(spark):
+    """The default runs TWO window stages: a local prune keyed on
+    (group, partition id) before the global per-group window."""
+    from ganda_spark.operators.sampling import take_best
+
+    df = _skewed_scores(spark).repartition(8)
+    plan = (
+        take_best(df, ["source"], 5, "score", "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Window") >= 2
+    assert "SPARK_PARTITION_ID" in plan or "_tb_pid" in plan
+
+
+# --- remove_boilerplate broadcast gate (VERDICT r6 wrong #2) ---------------
+
+
+def _bp_frame(spark):
+    rows = [
+        ("a", f"a{i}", f"NAV | a\nbody a {i}\nCopyright a") for i in range(4)
+    ] + [("b", f"b{i}", f"NAV | b\nbody b {i}\nCopyright b") for i in range(2)]
+    return spark.createDataFrame(rows, "host string, doc_id string, text string")
+
+
+def test_boilerplate_join_path_equals_broadcast_path(spark):
+    from ganda_spark.functions.html import remove_boilerplate
+
+    df = _bp_frame(spark)
+    bc = remove_boilerplate(df, min_docs=3)
+    jn = remove_boilerplate(df, min_docs=3, max_broadcast_hosts=1)
+    key = lambda r: (r.doc_id, r.text_clean, r.n_boiler_removed)  # noqa: E731
+    assert sorted(map(key, bc.collect())) == sorted(map(key, jn.collect()))
+
+
+def test_boilerplate_join_path_has_no_forced_broadcast(spark):
+    """Above the host bound, the per-host tables join WITHOUT the
+    broadcast hint (a SortMergeJoin/ShuffledHashJoin on the host key is
+    acceptable; driver-sized broadcast of host tables is not)."""
+    from ganda_spark.functions.html import remove_boilerplate
+
+    df = _bp_frame(spark)
+    plan = (
+        remove_boilerplate(df, min_docs=3, max_broadcast_hosts=1)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # the doc-side join against bp must not carry a broadcast hint
+    assert "ResolvedHint" not in plan
+
+
+# --- export_ordered_shards quantile buckets (VERDICT r6 wrong #4) ----------
+
+
+def test_export_sparse_keys_assignment_unchanged_and_spread(spark):
+    from ganda_spark.operators.sampling import export_ordered_shards
+
+    # clustered/sparse keys: two generations with a huge id gap
+    rows = [(i, 10) for i in range(100)] + [(10_000_000 + i, 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, sz long")
+    out = export_ordered_shards(
+        df, size_col="sz", shard_bytes=64, key_col="doc_id", buckets=8
+    )
+    got = {r.doc_id: r.shard_id for r in out.collect()}
+    # naive reference: ordered cumulative sum
+    acc = 0
+    for k, s in sorted(rows):
+        assert got[k] == acc // 64, f"key {k}"
+        acc += s
+
+
+# --- NumPy SemDeDup pair scan ≡ Catalyst self-join form --------------------
+
+
+def _catalyst_pair_dups(assigned, threshold_bp):
+    """The r6 Catalyst pair scan, kept as the test reference."""
+    from ganda_spark.operators.similarity import as_double, cosine_pre, norm
+
+    a = assigned.select(
+        "list_id",
+        F.col("vec_id").alias("_i"),
+        as_double(F.col("embedding")).alias("_av"),
+        norm(as_double(F.col("embedding"))).alias("_an"),
+    )
+    b = assigned.select(
+        "list_id",
+        F.col("vec_id").alias("_j"),
+        as_double(F.col("embedding")).alias("_bv"),
+        norm(as_double(F.col("embedding"))).alias("_bn"),
+    )
+    return (
+        a.join(b, "list_id")
+        .where(F.col("_i") < F.col("_j"))
+        .select(
+            "_j", "_i",
+            F.round(
+                cosine_pre(F.col("_av"), F.col("_an"), F.col("_bv"), F.col("_bn")), 4
+            ).alias("_cos"),
+        )
+        .where(F.col("_cos") >= F.lit(threshold_bp) / 10_000.0)
+        .groupBy("_j")
+        .agg(F.min("_i").alias("dup_of"))
+    )
+
+
+def _random_assigned(spark, seed=7, n=120, dim=6):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        base = [rng.uniform(-1, 1) for _ in range(dim)]
+        rows.append((i, i % 4, base))
+        if i % 5 == 0:  # planted near-copies
+            rows.append((1000 + i, i % 4, [x + 1e-6 for x in base]))
+        if i % 17 == 0:  # exact copies
+            rows.append((2000 + i, i % 4, list(base)))
+    nanv = [float("nan")] + [0.5] * (dim - 1)  # NaN element → NaN cosine
+    rows.append((3000, 0, nanv))
+    rows.append((3001, 0, list(nanv)))
+    rows.append((3002, 1, [1.0, 2.0]))  # nonstandard length pair
+    rows.append((3003, 1, [1.0, 2.0]))
+    rows.append((3004, 1, [1.0]))  # mixed-length: never a candidate pair
+    return spark.createDataFrame(
+        rows, "vec_id long, list_id long, embedding array<double>"
+    )
+
+
+def test_numpy_pair_dups_equals_catalyst(spark):
+    from ganda_spark.operators.similarity import list_pair_dups
+
+    assigned = _random_assigned(spark).persist()
+    for thr in (9990, 9000, 5000):
+        ref = {
+            r._j: r.dup_of for r in _catalyst_pair_dups(assigned, thr).collect()
+        }
+        got = {
+            r._j: r.dup_of
+            for r in list_pair_dups(assigned, thr).collect()
+        }
+        assert got == ref, f"threshold_bp={thr}"
+    assigned.unpersist()
+
+
+def test_numpy_pair_dups_nan_flags_like_spark(spark):
+    """Spark orders NaN above every double, so a NaN cosine PASSES
+    round(cos,4) >= thr. Zero vectors additionally upgrade: the Catalyst
+    form RAISED (ANSI 0.0/0.0 divide error, Spark 4); the NumPy scan
+    takes the same NaN-is-dup route instead of failing the job."""
+    from ganda_spark.operators.similarity import list_pair_dups
+
+    assigned = spark.createDataFrame(
+        [(1, 0, [0.0, 0.0]), (2, 0, [0.0, 0.0]),
+         (3, 1, [float("nan"), 1.0]), (4, 1, [float("nan"), 1.0])],
+        "vec_id long, list_id long, embedding array<double>",
+    )
+    got = {r._j: r.dup_of for r in list_pair_dups(assigned, 9990).collect()}
+    assert got == {2: 1, 4: 3}
+
+
+def test_round_ge_boundary_matches_spark_round(spark):
+    from ganda_spark.operators.similarity import round_ge_boundary
+
+    for bp in (9990, 9000, 5000, 9999):
+        thr = bp / 10_000.0
+        B = round_ge_boundary(bp)
+        vals = []
+        for base in (thr - 5e-5, thr, thr + 5e-5, B):
+            x = base
+            for _ in range(4):
+                vals.append(x)
+                x = math.nextafter(x, 2.0)
+            x = base
+            for _ in range(4):
+                vals.append(x)
+                x = math.nextafter(x, -2.0)
+        rng = random.Random(bp)
+        vals += [rng.uniform(thr - 0.001, thr + 0.001) for _ in range(300)]
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        rows = df.select("x", (F.round("x", 4) >= thr).alias("p")).collect()
+        for r in rows:
+            assert (r.x >= B) == bool(r.p), f"bp={bp} x={r.x!r}"
+
+
+def test_semantic_incremental_numpy_equals_join_fallback(spark):
+    """broadcast_new=True (localized NumPy path) must equal the
+    broadcast_new=False shuffle-join fallback row-for-row."""
+    from ganda_spark.operators.similarity import semantic_dedup_incremental
+
+    rng = random.Random(11)
+    base = [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(40)]
+    new = [(100 + i, [x + 1e-7 for x in base[i * 2][1]]) for i in range(12)] + [
+        (200 + i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(8)
+    ]
+    base_df = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    new_df = spark.createDataFrame(new, "vec_id long, embedding array<double>")
+    kw = dict(n_centroids=4, iters=1, threshold_bp=9990, dim=6)
+    a = semantic_dedup_incremental(base_df, new_df, broadcast_new=True, **kw)
+    b = semantic_dedup_incremental(base_df, new_df, broadcast_new=False, **kw)
+    key = lambda r: (r.vec_id, r.list_id, r.dup_of, r.is_semdup)  # noqa: E731
+    assert sorted(
+        map(key, a.select("vec_id", "list_id", "dup_of", "is_semdup").collect())
+    ) == sorted(
+        map(key, b.select("vec_id", "list_id", "dup_of", "is_semdup").collect())
+    )
