@@ -4966,7 +4966,13 @@ def q_text_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("Copyright "), F.col("source"),
         ).alias("text"),
     )
-    out = remove_boilerplate(synth, host_col="host", text_col="text")
+    # cache_input=False: this entry's input is a cheap projection over
+    # documents — recomputing it 3× is cheaper than the cache round-trip
+    # (measured 0.59 s vs 0.84 s at sf0.1); the clean-pipeline entry,
+    # whose upstream is fetch+extract, keeps the default cache
+    out = remove_boilerplate(
+        synth, host_col="host", text_col="text", cache_input=False
+    )
     return out.select("doc_id", "host", "text_clean", "n_boiler_removed")
 
 

@@ -48,6 +48,7 @@ def decontaminate(
     n: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    cache_out: list | None = None,
 ) -> DataFrame:
     """Annotate `docs` with benchmark-overlap evidence:
 
@@ -56,13 +57,29 @@ def decontaminate(
     - hit_bp: n_hit·10⁴ div n_doc (integer basis points, engine-exact)
     - contaminated: any hit at all (the conservative GPT-3-style rule;
       callers wanting a fraction threshold gate on hit_bp)
-    """
+
+    r7 (guide §5, measured §1): the n-gram construction (per-gram
+    slice+join HOFs) was the dominant cost AND evaluated twice — once
+    under the explode for the hit join, once as size(grams) on the
+    output side (12 s of a 25 s total each at 10× sf0.1). The exploded
+    (id, ngram) table is now persisted once and BOTH n_doc_ngrams (a
+    count per id — identical to size(grams) since the grams array is
+    already distinct) and the hit join read the cache. Docs shorter than
+    n words have no gram rows and coalesce to 0 exactly as before.
+    Persisted handles ride `cache_out` when given (loop callers
+    unpersist); the cache is gram-table-sized — callers at extreme scale
+    can prefer decontaminate_bloom, which already streams."""
     grams = ngram_col(text_col, n)
     bench_grams = (
         bench.select(F.explode(ngram_col(text_col, n)).alias("ngram")).distinct()
     )
     doc_grams = docs.select(
         F.col(id_col), F.explode(grams).alias("ngram")
+    ).persist()
+    if cache_out is not None:
+        cache_out.append(doc_grams)
+    doc_counts = doc_grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n_doc_ngrams")
     )
     hits = (
         doc_grams.join(F.broadcast(bench_grams), "ngram", "inner")
@@ -70,7 +87,11 @@ def decontaminate(
         .agg(F.count("*").alias("n_hit_ngrams"))
     )
     out = (
-        docs.withColumn("n_doc_ngrams", F.size(grams).cast("long"))
+        docs.join(doc_counts, id_col, "left")
+        .withColumn(
+            "n_doc_ngrams", F.coalesce(F.col("_n_doc_ngrams"), F.lit(0)).cast("long")
+        )
+        .drop("_n_doc_ngrams")
         .join(hits, id_col, "left")
         .withColumn(
             "n_hit_ngrams", F.coalesce(F.col("n_hit_ngrams"), F.lit(0)).cast("long")

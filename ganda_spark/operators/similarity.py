@@ -269,6 +269,7 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     wide_dim_limit: int = 256,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """DataFrame-native Lloyd's iterations for IVF coarse quantization
     (VERDICT r3 #2): seeded by the deterministic first-C-by-id picks, each
@@ -301,55 +302,14 @@ def kmeans_centroids(
         F.col(id_col).cast("long").alias(id_col), as_double(F.col(vec_col)).alias(vec_col)
     )
     for it in range(iters):
-        assigned = ivf_assign(emb, cent, id_col, vec_col, nprobe=1)
-        if dim <= wide_dim_limit:
-            sums = [
-                F.sum(
-                    F.round(F.col(vec_col)[d].cast("double") * 10000).cast("long")
-                ).alias(f"_s{d}")
-                for d in range(dim)
-            ]
-            upd = assigned.groupBy("list_id").agg(*sums, F.count("*").alias("_n"))
-            cent = upd.select(
-                F.col("list_id").cast("long").alias(id_col),
-                F.array(
-                    *[
-                        (F.expr(f"_s{d} div _n") / F.lit(10000.0)).cast("double")
-                        for d in range(dim)
-                    ]
-                ).alias(vec_col),
-            )
+        if use_arrow:
+            cent = _kmeans_update_arrow(emb, cent, dim, id_col, vec_col)
         else:
-            tall = assigned.select(
-                "list_id",
-                F.posexplode(
-                    F.expr(
-                        f"transform({vec_col}, v -> "
-                        "CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT))"
-                    )
-                ).alias("_pos", "_bp"),
-            )
-            upd = tall.groupBy("list_id", "_pos").agg(
-                F.sum("_bp").alias("_s"), F.count(F.lit(1)).alias("_n")
-            )
-            cent = (
-                upd.groupBy("list_id")
-                .agg(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                F.col("_pos"),
-                                (F.expr("_s div _n") / F.lit(10000.0))
-                                .cast("double")
-                                .alias("_m"),
-                            )
-                        )
-                    ).alias("_pm")
-                )
-                .select(
-                    F.col("list_id").cast("long").alias(id_col),
-                    F.expr("transform(_pm, x -> x._m)").alias(vec_col),
-                )
+            # Catalyst reference paths (wide/tall), kept for the
+            # use_arrow=False cross-check pinned by test
+            assigned = ivf_assign(emb, cent, id_col, vec_col, nprobe=1)
+            cent = _kmeans_update_catalyst(
+                assigned, dim, wide_dim_limit, id_col, vec_col
             )
         # r7 (guide §5): LOCALIZE each INTERMEDIATE iteration's centroid
         # table (C rows — bounded by definition) so iteration i+1 starts
@@ -364,6 +324,197 @@ def kmeans_centroids(
                 cent.collect(), f"{id_col} long, {vec_col} array<double>"
             )
     return cent
+
+
+def _kmeans_update_catalyst(
+    assigned: DataFrame,
+    dim: int,
+    wide_dim_limit: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """One Lloyd's update from an assigned corpus — the r6 Catalyst forms
+    (wide ≤ wide_dim_limit, tall above), kept as the use_arrow=False
+    reference implementation and cross-check (equivalence test-pinned)."""
+    if dim <= wide_dim_limit:
+        sums = [
+            F.sum(
+                F.round(F.col(vec_col)[d].cast("double") * 10000).cast("long")
+            ).alias(f"_s{d}")
+            for d in range(dim)
+        ]
+        upd = assigned.groupBy("list_id").agg(*sums, F.count("*").alias("_n"))
+        return upd.select(
+            F.col("list_id").cast("long").alias(id_col),
+            F.array(
+                *[
+                    (F.expr(f"_s{d} div _n") / F.lit(10000.0)).cast("double")
+                    for d in range(dim)
+                ]
+            ).alias(vec_col),
+        )
+    tall = assigned.select(
+        "list_id",
+        F.posexplode(
+            F.expr(
+                f"transform({vec_col}, v -> "
+                "CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT))"
+            )
+        ).alias("_pos", "_bp"),
+    )
+    upd = tall.groupBy("list_id", "_pos").agg(
+        F.sum("_bp").alias("_s"), F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        upd.groupBy("list_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("_pos"),
+                        (F.expr("_s div _n") / F.lit(10000.0))
+                        .cast("double")
+                        .alias("_m"),
+                    )
+                )
+            ).alias("_pm")
+        )
+        .select(
+            F.col("list_id").cast("long").alias(id_col),
+            F.expr("transform(_pm, x -> x._m)").alias(vec_col),
+        )
+    )
+
+
+def _kmeans_update_arrow(
+    emb: DataFrame,
+    cent: DataFrame,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """One Lloyd's update as a SINGLE Arrow pass (guide §4.2): per
+    partition, NumPy computes each row's nearest centroid and accumulates
+    per-list integer bp sums — replacing the N×C broadcast-nested-loop
+    expansion, the first(embedding) SortAggregate, and the wide update
+    aggregate with one map stage plus a C×dim skinny-row sum (measured
+    13.5 s → ~4 s for 2 iterations at 10× sf0.1).
+
+    EXACTNESS by construction, not accident:
+      * assignment cosines accumulate dimension-sequentially (the
+        _pair_dup_arrays contract — per row the IEEE op sequence of the
+        aggregate(zip_with) fold), centroid norms likewise, division is
+        the same one-product-one-divide as cosine_pre;
+      * the argmax replicates max_by(cid, struct(cos, −cid)): centroids
+        are sorted by id and np.argmax takes the FIRST maximum (ties →
+        lowest cid); NaN cosines map to +inf first (Spark orders NaN
+        above every double);
+      * the summed values are NOT re-rounded in Python: Spark's own
+        Round(v·10⁴) HALF_UP runs in a Catalyst projection and ships as
+        int64 — the NumPy stage only adds integers (order-free, exact),
+        and the final per-(list, pos) sum + `div` reassembly is the
+        r6 tall form verbatim.
+
+    Contract: vectors of exactly `dim` elements (rows of any other
+    length are skipped — the Catalyst forms produced NULL-poisoned
+    groups for them; both behaviors are undefined input)."""
+    import pandas as pd
+
+    spark = emb.sparkSession
+    cent_rows = sorted(
+        (int(r[0]), [float(x) for x in r[1]]) for r in cent.collect()
+    )
+    schema = "list_id long, _pos int, _s long, _n long"
+    if not cent_rows:
+        return _kmeans_update_catalyst(
+            spark.createDataFrame([], f"list_id long, {vec_col} array<double>"),
+            dim, dim + 1, id_col, vec_col,
+        )
+    rows = emb.select(
+        as_double(F.col(vec_col)).alias("_kv"),
+        F.expr(
+            f"transform({vec_col}, v -> "
+            "CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT))"
+        ).alias("_kbp"),
+    )
+
+    def partials(it):
+        import numpy as np
+
+        cids = np.array([c for c, _ in cent_rows], dtype=np.int64)
+        C = np.array([v for _, v in cent_rows], dtype=np.float64)
+        nacc = np.zeros(len(cids))
+        for d in range(dim):
+            col = C[:, d]
+            nacc = nacc + col * col
+        cn = np.sqrt(nacc)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            vecs = pdf["_kv"].tolist()
+            keep = [
+                i for i, v in enumerate(vecs)
+                if v is not None and len(v) == dim
+            ]
+            if not keep:
+                continue
+            V = np.empty((len(keep), dim), dtype=np.float64)
+            BP = np.empty((len(keep), dim), dtype=np.int64)
+            bps = pdf["_kbp"].tolist()
+            for r, i in enumerate(keep):
+                V[r, :] = vecs[i]
+                BP[r, :] = bps[i]
+            vacc = np.zeros(len(keep))
+            for d in range(dim):
+                col = V[:, d]
+                vacc = vacc + col * col
+            vn = np.sqrt(vacc)
+            D = np.zeros((len(keep), len(cids)))
+            for d in range(dim):
+                D += V[:, d][:, None] * C[:, d][None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                COS = D / (vn[:, None] * cn[None, :])
+            COS = np.where(np.isnan(COS), np.inf, COS)
+            best = np.argmax(COS, axis=1)
+            out_l, out_p, out_s, out_n = [], [], [], []
+            for k in np.unique(best):
+                sel = best == k
+                s = BP[sel].sum(axis=0)
+                n = int(sel.sum())
+                for pos in range(dim):
+                    out_l.append(int(cids[k]))
+                    out_p.append(pos)
+                    out_s.append(int(s[pos]))
+                    out_n.append(n)
+            yield pd.DataFrame(
+                {"list_id": out_l, "_pos": out_p, "_s": out_s, "_n": out_n}
+            )
+
+    upd = (
+        rows.mapInPandas(partials, schema)
+        .groupBy("list_id", "_pos")
+        .agg(F.sum("_s").alias("_s"), F.sum("_n").alias("_n"))
+    )
+    return (
+        upd.groupBy("list_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("_pos"),
+                        (F.expr("_s div _n") / F.lit(10000.0))
+                        .cast("double")
+                        .alias("_m"),
+                    )
+                )
+            ).alias("_pm")
+        )
+        .select(
+            F.col("list_id").cast("long").alias(id_col),
+            F.expr("transform(_pm, x -> x._m)").alias(vec_col),
+        )
+    )
+
 
 
 def ivf_kmeans_topk(

@@ -237,3 +237,29 @@ def test_semantic_incremental_numpy_equals_join_fallback(spark):
     ) == sorted(
         map(key, b.select("vec_id", "list_id", "dup_of", "is_semdup").collect())
     )
+
+
+def test_kmeans_arrow_update_equals_catalyst(spark):
+    """The Arrow (NumPy) Lloyd's update must produce BIT-IDENTICAL
+    centroids to the r6 Catalyst wide/tall forms — assignment argmax,
+    NaN ordering, integer bp sums and the div reassembly all replicated."""
+    from ganda_spark.operators.similarity import kmeans_centroids
+
+    rng = random.Random(23)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(300)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for iters in (1, 2):
+        a = kmeans_centroids(emb, 8, iters, 6, use_arrow=True).collect()
+        c = kmeans_centroids(emb, 8, iters, 6, use_arrow=False).collect()
+        ka = sorted((r[0], tuple(r[1])) for r in a)
+        kc = sorted((r[0], tuple(r[1])) for r in c)
+        assert ka == kc, f"iters={iters}"
+    # tall-form reference above the width ceiling, same data
+    t = kmeans_centroids(
+        emb, 8, 2, 6, use_arrow=False, wide_dim_limit=3
+    ).collect()
+    kt = sorted((r[0], tuple(r[1])) for r in t)
+    a2 = kmeans_centroids(emb, 8, 2, 6, use_arrow=True).collect()
+    assert sorted((r[0], tuple(r[1])) for r in a2) == kt
