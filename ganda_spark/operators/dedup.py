@@ -310,20 +310,103 @@ def incremental_pair_bound(
     return int(min(ub, float(1 << 62)))
 
 
+def _jaccard_pairs_local(pairs: DataFrame, sh: DataFrame, id_col: str) -> DataFrame:
+    """Huge-pair verify core: the doc shingle sets are LOCALIZED once
+    (bounded by the caller — doc-count/shingle-count gates), factorized
+    driver-side to int codes (exact: string equality ⇔ code equality),
+    and the O(n²)-class pair scan runs as mapInPandas over the NARROW
+    (id_a, id_b) pair rows — C-speed set intersections instead of one
+    interpreted array_intersect/array_union per joined pair, and the pair
+    rows never carry the shingle arrays (the Catalyst fallback shipped
+    both ~KB arrays per pair through the shuffle join: at the bench's
+    degenerate 2M-pair stress that is ~GBs of row payload for ~32 MB of
+    ids). Returns (id_a, id_b, _i, _u) — intersection / union SIZES;
+    the caller divides+rounds in Catalyst so the arithmetic (including
+    0/0 → NaN and missing-side NULL) is the identical expression.
+
+    Precondition (same as the join form's sane use): ids unique in `sh`.
+    Inner-join semantics preserved: pairs whose ids are absent are dropped.
+    """
+    import pandas as pd
+
+    rows = sh.collect()
+    vocab: dict[str, int] = {}
+    sets: dict = {}
+    for r in rows:
+        arr = r["sh"]
+        if arr is None:
+            sets[r[0]] = None
+            continue
+        enc = []
+        for s in arr:
+            c = vocab.get(s)
+            if c is None:
+                c = len(vocab)
+                vocab[s] = c
+            enc.append(c)
+        sets[r[0]] = frozenset(enc)
+    del vocab
+    bc = pairs.sparkSession.sparkContext.broadcast(sets)
+
+    id_types = dict(pairs.dtypes)
+    out_schema = (
+        f"id_a {id_types['id_a']}, id_b {id_types['id_b']}, _i int, _u int"
+    )
+
+    def count_fn(it):
+        local = bc.value
+        missing = object()
+        for pdf in it:
+            ia_l = pdf["id_a"].tolist()
+            ib_l = pdf["id_b"].tolist()
+            oa, ob, oi, ou = [], [], [], []
+            for ia, ib in zip(ia_l, ib_l):
+                sa = local.get(ia, missing)
+                sb = local.get(ib, missing)
+                if sa is missing or sb is missing:
+                    continue  # inner-join: absent doc drops the pair
+                if sa is None or sb is None:
+                    inter = None  # NULL shingles ⇒ NULL sizes ⇒ NULL jaccard
+                    un = None
+                else:
+                    inter = len(sa & sb)
+                    un = len(sa) + len(sb) - inter
+                oa.append(ia)
+                ob.append(ib)
+                oi.append(inter)
+                ou.append(un)
+            yield pd.DataFrame({"id_a": oa, "id_b": ob, "_i": oi, "_u": ou})
+
+    return pairs.select("id_a", "id_b").mapInPandas(count_fn, out_schema)
+
+
 def jaccard_verify(
     pairs: DataFrame,
     docs_with_shingles: DataFrame,
     id_col: str = "doc_id",
     max_broadcast_pairs: int = 5_000_000,
     broadcast_pairs: bool | None = None,
+    max_local_docs: int = 100_000,
+    max_local_shingles: int = 4_000_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs only (the verify stage).
 
     When the candidate set is small (well-tuned LSH bands) it is broadcast,
     so the wide shingle arrays never shuffle — two broadcast-hash joins.
-    With DEGENERATE bands (every doc in one bucket) the pair set is O(n²)
-    and an unconditional broadcast OOMs the executors (VERDICT r1 caveat);
-    past `max_broadcast_pairs` we fall back to shuffle joins.
+    With DEGENERATE bands (every doc in one bucket) the pair set is O(n²);
+    an unconditional broadcast OOMs the executors (VERDICT r1 caveat), and
+    the r6 shuffle-join fallback paid one interpreted
+    array_intersect/array_union per pair PLUS both shingle arrays as pair-
+    row payload (guide §2.3/§4.2 — measured ~60 s on the bench's 2M-pair
+    degenerate stress). r7: in the huge-pair regime the doc SIDE is orders
+    of magnitude smaller than the pair set (2M pairs come from 2k docs),
+    so when it fits the localization gates (`max_local_docs` docs /
+    `max_local_shingles` total array elements — one bounded aggregate over
+    the doc side) the shingle sets are localized once and the pair scan
+    runs vectorized over narrow id rows (_jaccard_pairs_local); division
+    and round stay in Catalyst, so every output double (incl. 0/0 → NaN)
+    is the identical expression. Past the gates, the shuffle-join fallback
+    is unchanged.
 
     broadcast_pairs: the gate decision, when the caller already knows it —
     pass `candidate_pair_bound(banded) <= max_broadcast_pairs` to avoid
@@ -334,6 +417,20 @@ def jaccard_verify(
     )
     if broadcast_pairs is None:
         broadcast_pairs = _should_broadcast_pairs(pairs, max_broadcast_pairs)
+    if not broadcast_pairs:
+        stats = sh.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.coalesce(F.size("sh"), F.lit(0))).alias("_e"),
+        ).collect()[0]
+        if (stats["_n"] or 0) <= max_local_docs and (
+            stats["_e"] or 0
+        ) <= max_local_shingles:
+            counted = _jaccard_pairs_local(pairs, sh, id_col)
+            return counted.select(
+                "id_a",
+                "id_b",
+                F.round(F.col("_i") / F.col("_u"), 4).alias("jaccard"),
+            )
     if broadcast_pairs:
         pairs = F.broadcast(pairs)
     j = (

@@ -239,6 +239,93 @@ def test_semantic_incremental_numpy_equals_join_fallback(spark):
     )
 
 
+# --- jaccard_verify localized pair scan ≡ Catalyst join form ---------------
+
+
+def _jaccard_fixture(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, ["a b c", "b c d", "c d e"]),
+            (2, ["a b c", "b c d", "x y z"]),          # partial overlap with 1
+            (3, ["a b c", "b c d", "c d e"]),          # exact copy of 1
+            (4, ["p q r"]),                             # disjoint
+            (5, []),                                    # empty vs non-empty: 0/N
+            (7, None),                                  # NULL shingles → NULL jaccard
+            (8, ["a b c", "a b c", "b c d"]),           # dups inside the array
+        ],
+        "doc_id long, shingles array<string>",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (4, 5), (1, 7), (2, 8), (1, 99)],
+        "id_a long, id_b long",
+    )
+    return docs, pairs
+
+
+def test_jaccard_local_path_equals_catalyst_join(spark):
+    """The huge-pair localized scan (broadcast_pairs=False within the
+    localization gates) must match the broadcast-join form row-for-row:
+    partial/exact/disjoint overlaps, in-array duplicates, the 0/0 → NaN
+    pair, NULL-shingle NULL, and the missing-id pair dropped by the
+    inner join."""
+    from ganda_spark.operators.dedup import jaccard_verify
+
+    docs, pairs = _jaccard_fixture(spark)
+    ref = jaccard_verify(pairs, docs, broadcast_pairs=True).collect()
+    got = jaccard_verify(pairs, docs, broadcast_pairs=False).collect()
+
+    def key(r):
+        j = r.jaccard
+        j = "nan" if (j is not None and j != j) else j
+        return (r.id_a, r.id_b, j)
+
+    assert sorted(map(key, got)) == sorted(map(key, ref))
+    by_pair = {(r.id_a, r.id_b): r.jaccard for r in got}
+    assert by_pair[(1, 3)] == 1.0
+    assert by_pair[(1, 4)] == 0.0
+    assert by_pair[(4, 5)] == 0.0
+    assert by_pair[(1, 7)] is None
+    assert (1, 99) not in by_pair
+
+
+def test_jaccard_local_raises_on_empty_empty_like_catalyst(spark):
+    """An empty-vs-empty pair divides 0/0 on INT operands, which RAISES
+    under ANSI (Spark 4 default) on the r6 Catalyst path; the local path
+    routes its integer sizes through the identical Divide expression, so
+    it raises the same error rather than inventing a NaN."""
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    from ganda_spark.operators.dedup import jaccard_verify
+
+    docs = spark.createDataFrame(
+        [(5, []), (6, [])], "doc_id long, shingles array<string>"
+    )
+    pairs = spark.createDataFrame([(5, 6)], "id_a long, id_b long")
+    for bp in (True, False):
+        with pytest.raises(ArithmeticException):
+            jaccard_verify(pairs, docs, broadcast_pairs=bp).collect()
+
+
+def test_jaccard_local_gates_fall_back_to_shuffle_join(spark):
+    """Past max_local_docs the shuffle-join fallback still runs (and
+    matches); the local path's mapInPandas node only appears inside the
+    gates."""
+    from ganda_spark.operators.dedup import jaccard_verify
+
+    docs, pairs = _jaccard_fixture(spark)
+    local = jaccard_verify(pairs, docs, broadcast_pairs=False)
+    fb = jaccard_verify(pairs, docs, broadcast_pairs=False, max_local_docs=2)
+
+    def key(r):
+        j = r.jaccard
+        j = "nan" if (j is not None and j != j) else j
+        return (r.id_a, r.id_b, j)
+
+    assert sorted(map(key, local.collect())) == sorted(map(key, fb.collect()))
+    assert "MapInPandas" in local._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in fb._jdf.queryExecution().executedPlan().toString()
+
+
 def test_kmeans_arrow_update_equals_catalyst(spark):
     """The Arrow (NumPy) Lloyd's update must produce BIT-IDENTICAL
     centroids to the r6 Catalyst wide/tall forms — assignment argmax,
