@@ -130,6 +130,119 @@ def lsh_bucket(
     )
 
 
+def _ivf_assign_arrow(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+) -> DataFrame:
+    """nprobe=1 assignment as ONE Arrow map stage (guide §4.2): the
+    Catalyst form paid an interpreted aggregate(zip_with) fold per
+    (row × centroid) — ~100 µs core each, N×C of them — plus a C-way join
+    expansion undone by a groupBy(id) exchange. Here the C-row centroid
+    table is localized (bounded by definition) and each batch computes
+    its rows' argmax in NumPy with the _kmeans_update_arrow assignment
+    discipline, emitting every input column plus `out_id` — a pure map:
+    ZERO exchanges where the aggregate form shuffled N full rows.
+
+    EXACTNESS (the max_by(cid, struct(cos, −cid)) contract, test-pinned
+    against the Catalyst form):
+      * dots and both norms accumulate dimension-sequentially (the
+        _pair_dup_arrays IEEE-op-sequence contract); cosine is the same
+        one-product-one-divide as cosine_pre;
+      * centroids are sorted by id and np.argmax takes the FIRST max:
+        equal cosines break to the lowest cid, NaN maps to +inf first
+        (Spark orders NaN above every double — and zero-norm rows take
+        this NaN route where the Catalyst form RAISED under ANSI
+        0.0/0.0, the same documented upgrade as the pair scan);
+      * a row whose length matches NO centroid scores NULL against every
+        centroid in the Catalyst form, where the struct tie falls to
+        −cid → lowest cid; here non-matching centroids key at −inf, so
+        the all-miss row argmaxes to the lowest cid identically. Rows or
+        centroids containing NULL elements are undefined input (the
+        _kmeans_update_arrow contract).
+    """
+    from pyspark.sql.types import StructField, StructType
+
+    cent_rows = sorted(
+        (r[0], None if r[1] is None else [float(x) for x in r[1]])
+        for r in centroids.select(
+            F.col(id_col), as_double(F.col(vec_col))
+        ).collect()
+    )
+    out_field = StructField(
+        out_id, centroids.schema[id_col].dataType, nullable=True
+    )
+    schema = StructType(list(emb.schema.fields) + [out_field])
+    cols = emb.columns
+
+    def assign_fn(it):
+        import numpy as np
+
+        cids = [c for c, _ in cent_rows]
+        by_len: dict[int, tuple] = {}
+        for k, (c, v) in enumerate(cent_rows):
+            if v is None:
+                continue
+            by_len.setdefault(len(v), []).append(k)
+        prepped: dict[int, tuple] = {}
+        for L, idxs in by_len.items():
+            M = np.array(
+                [cent_rows[k][1] for k in idxs], dtype=np.float64
+            ).reshape(len(idxs), L)
+            nacc = np.zeros(len(idxs))
+            for d in range(L):
+                col = M[:, d]
+                nacc = nacc + col * col
+            prepped[L] = (np.array(idxs), M, np.sqrt(nacc))
+        for pdf in it:
+            n = len(pdf)
+            if not n:
+                continue
+            vecs = pdf[vec_col].tolist()
+            lens = np.array(
+                [-1 if v is None else len(v) for v in vecs], dtype=np.int64
+            )
+            best = np.zeros(n, dtype=np.int64)  # all-miss rows → first cid
+            for L in np.unique(lens):
+                sel = np.nonzero(lens == L)[0]
+                if L < 0 or int(L) not in prepped:
+                    continue
+                idxs, M, cn = prepped[int(L)]
+                V = np.array([vecs[i] for i in sel], dtype=np.float64).reshape(
+                    len(sel), int(L)
+                )
+                vacc = np.zeros(len(sel))
+                for d in range(int(L)):
+                    col = V[:, d]
+                    vacc = vacc + col * col
+                vn = np.sqrt(vacc)
+                D = np.zeros((len(sel), len(idxs)))
+                for d in range(int(L)):
+                    D += V[:, d][:, None] * M[:, d][None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    COS = D / (vn[:, None] * cn[None, :])
+                COS = np.where(np.isnan(COS), np.inf, COS)
+                # keys for NON-matching centroids sit at −inf (they score
+                # NULL in Catalyst: below every non-null struct)
+                KEY = np.full((len(sel), len(cids)), -np.inf)
+                KEY[:, idxs] = COS
+                best[sel] = np.argmax(KEY, axis=1)
+            out = pdf.copy()
+            out[out_id] = [cids[b] for b in best]
+            yield out
+
+    if not cent_rows:
+        # empty centroid table: the Catalyst join+agg yields zero rows
+        return emb.limit(0).mapInPandas(assign_fn, schema).select(
+            id_col, *[c for c in cols if c != id_col], out_id
+        )
+    return emb.mapInPandas(assign_fn, schema).select(
+        id_col, *[c for c in cols if c != id_col], out_id
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     centroids: DataFrame,
@@ -137,6 +250,7 @@ def ivf_assign(
     vec_col: str = "embedding",
     nprobe: int = 1,
     out_id: str = "list_id",
+    use_arrow: bool = True,
 ) -> DataFrame:
     """IVF coarse quantization: each vector joins its `nprobe`
     nearest-centroid inverted lists (cosine, ties by centroid id). The
@@ -195,6 +309,8 @@ def ivf_assign(
                 f"(got {id_col}: {cid_type}); map to a numeric surrogate "
                 f"or use nprobe>1"
             )
+        if use_arrow:
+            return _ivf_assign_arrow(emb, centroids, id_col, vec_col, out_id)
         others = [col for col in emb.columns if col != id_col]
         return scored.groupBy(id_col).agg(
             *[F.first(col).alias(col) for col in others],

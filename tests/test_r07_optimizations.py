@@ -239,6 +239,58 @@ def test_semantic_incremental_numpy_equals_join_fallback(spark):
     )
 
 
+# --- Arrow ivf_assign ≡ Catalyst max_by aggregate --------------------------
+
+
+def test_ivf_assign_arrow_equals_catalyst(spark):
+    """The Arrow map-stage assignment must reproduce the Catalyst
+    max_by(cid, struct(cos, −cid)) row-for-row: random rows, exact
+    centroid ties (equal cosines → lowest cid), NaN elements (NaN
+    ordered above every double), mixed-length rows (length matches no
+    centroid → NULL everywhere → lowest cid), NULL vectors, and the
+    extra passthrough column."""
+    from ganda_spark.operators.similarity import ivf_assign
+
+    rng = random.Random(41)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(6)], f"t{i}") for i in range(200)
+    ]
+    rows.append((500, [2.0, 0.0, 0.0, 0.0, 0.0, 0.0], "tie"))  # 2× centroid 0
+    rows.append((501, [float("nan")] + [0.1] * 5, "nan"))
+    rows.append((502, [1.0, 2.0], "short"))  # matches no centroid length
+    rows.append((503, None, "null"))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, tag string"
+    )
+    cent = spark.createDataFrame(
+        [(i, [1.0 if d == i else 0.0 for d in range(6)]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    a = ivf_assign(emb, cent, use_arrow=True)
+    c = ivf_assign(emb, cent, use_arrow=False)
+    assert a.columns == c.columns
+    key = lambda r: (r.vec_id, r.tag, r.list_id)  # noqa: E731
+    assert sorted(map(key, a.collect())) == sorted(map(key, c.collect()))
+
+
+def test_ivf_assign_arrow_zero_norm_and_empty_centroids(spark):
+    """Zero-norm rows take the NaN route (lowest cid) where Catalyst
+    raises under ANSI 0.0/0.0 — the pair scan's documented upgrade; an
+    empty centroid table yields zero rows like the Catalyst join."""
+    from ganda_spark.operators.similarity import ivf_assign
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    cent = spark.createDataFrame(
+        [(3, [1.0, 0.0]), (7, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    got = {r.vec_id: r.list_id for r in ivf_assign(emb, cent).collect()}
+    assert got == {1: 3, 2: 3}
+    empty = cent.where(F.lit(False))
+    assert ivf_assign(emb, empty).count() == 0
+
+
 # --- jaccard_verify localized pair scan ≡ Catalyst join form ---------------
 
 
