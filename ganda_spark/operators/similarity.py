@@ -768,9 +768,28 @@ def _pair_dup_arrays(ids, vecs, boundary: float, is_new=None, block: int = 4096)
     simply not candidates here. Memory is blocked: never more than
     block² floats live at once, so degenerate lists cost time, not heap.
 
+    FAST PASS + EXACT BAND (r7): the per-dimension elementwise
+    accumulation of the full block product is the bit-exactness anchor
+    but costs ~10× a BLAS matmul. The block cosines are now computed
+    with `V @ V.T` (any summation order) TOGETHER with a RIGOROUS
+    per-pair error bound: for a d-term dot product, any summation order
+    satisfies |fl(Σxy) − Σxy| ≤ γ·Σ|x||y| with γ = d·u/(1−d·u)
+    (Higham, Accuracy and Stability of Numerical Algorithms, §3.1), so
+    |seq − blas| ≤ 2γ·Σ|x||y|; dividing by the same norm product and
+    allowing rounding of the division and of the |·| matmul itself, the
+    bound used is E = (4d+32)·eps·(A/(nᵢnⱼ)) + 8·eps·|cos_fast| with
+    A = |V|@|V|.T and eps = 2⁻⁵². Pairs with cos_fast ≥ boundary + E
+    pass for certain, cos_fast < boundary − E fail for certain, and
+    only the (empirically empty: width ~1e-13, and Σ|x||y| ≤ nᵢnⱼ by
+    Cauchy-Schwarz) band in between re-evaluates the exact
+    dimension-sequential fold — so the pass/fail set is IDENTICAL to
+    the sequential form on every input, adversarially-planted boundary
+    cosines included (test-pinned on a boundary ulp ladder).
+
     Returns (j_ids, dup_ids) int64 arrays."""
     import numpy as np
 
+    eps = float(np.finfo(np.float64).eps)  # 2^-52
     big = np.iinfo(np.int64).max
     lens = np.array([-1 if v is None else len(v) for v in vecs], dtype=np.int64)
     out_j: list = []
@@ -784,15 +803,17 @@ def _pair_dup_arrays(ids, vecs, boundary: float, is_new=None, block: int = 4096)
         n = len(order)
         if n < 2:
             continue
-        V = np.empty((n, max(int(L), 1)), dtype=np.float64)
+        V = np.zeros((n, max(int(L), 1)), dtype=np.float64)
         for r, oi in enumerate(order):
             if L > 0:
                 V[r, :] = vecs[oi]
+        AV = np.abs(V)
         nacc = np.zeros(n)
         for d in range(int(L)):
             c = V[:, d]
             nacc = nacc + c * c
         nrm = np.sqrt(nacc)
+        ebound = (4 * int(L) + 32) * eps
         nw = is_new[order] if is_new is not None else None
         bestid = np.full(n, big)
         for jb in range(0, n, block):
@@ -800,12 +821,26 @@ def _pair_dup_arrays(ids, vecs, boundary: float, is_new=None, block: int = 4096)
             i_hi = n if is_new is not None else je
             for ib in range(0, i_hi, block):
                 ie = min(ib + block, i_hi)
-                D = np.zeros((ie - ib, je - jb))
-                for d in range(int(L)):
-                    D += V[ib:ie, d][:, None] * V[jb:je, d][None, :]
+                NP_ = nrm[ib:ie][:, None] * nrm[jb:je][None, :]
                 with np.errstate(divide="ignore", invalid="ignore"):
-                    C = D / (nrm[ib:ie][:, None] * nrm[jb:je][None, :])
-                M = (C >= boundary) | np.isnan(C)
+                    C = (V[ib:ie] @ V[jb:je].T) / NP_
+                    E = (
+                        ebound * (AV[ib:ie] @ AV[jb:je].T) / NP_
+                        + 8 * eps * np.abs(C)
+                    )
+                M = (C >= boundary + E) | np.isnan(C)
+                band = ~M & (C >= boundary - E)
+                if band.any():
+                    bi, bj = np.nonzero(band)
+                    Vi = V[ib:ie][bi]
+                    Vj = V[jb:je][bj]
+                    acc = np.zeros(len(bi))
+                    for d in range(int(L)):
+                        acc = acc + Vi[:, d] * Vj[:, d]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        ce = acc / (nrm[ib:ie][bi] * nrm[jb:je][bj])
+                    ok = ce >= boundary
+                    M[bi[ok], bj[ok]] = True
                 ipos = np.arange(ib, ie)[:, None]
                 jpos = np.arange(jb, je)[None, :]
                 if is_new is not None:

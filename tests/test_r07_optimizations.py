@@ -192,6 +192,42 @@ def test_numpy_pair_dups_nan_flags_like_spark(spark):
     assert got == {2: 1, 4: 3}
 
 
+def test_numpy_pair_dups_boundary_ladder_equals_catalyst(spark):
+    """Adversarial input for the BLAS fast-pass + exact-band scan:
+    vectors constructed so pair cosines land within a few ulps of the
+    round(cos,4) >= 0.999 boundary — exactly the region where a naive
+    fast pass would misclassify. Every such pair must resolve through
+    the exact sequential band identically to the Catalyst fold."""
+    import math
+    import struct
+
+    from ganda_spark.operators.similarity import (
+        list_pair_dups,
+        round_ge_boundary,
+    )
+
+    B = round_ge_boundary(9990)
+
+    def ulp_shift(x, k):
+        b = struct.unpack("<q", struct.pack("<d", x))[0]
+        return struct.unpack("<d", struct.pack("<q", b + k))[0]
+
+    rows = [(0, 0, [1.0, 0.0, 0.0, 0.0])]
+    i = 1
+    for k in range(-40, 41, 4):
+        c = ulp_shift(B, k)
+        s = math.sqrt(max(0.0, 1.0 - c * c))
+        rows.append((i, 0, [c, s, 0.0, 0.0]))
+        i += 1
+    assigned = spark.createDataFrame(
+        rows, "vec_id long, list_id long, embedding array<double>"
+    ).persist()
+    ref = {r._j: r.dup_of for r in _catalyst_pair_dups(assigned, 9990).collect()}
+    got = {r._j: r.dup_of for r in list_pair_dups(assigned, 9990).collect()}
+    assert got == ref
+    assigned.unpersist()
+
+
 def test_round_ge_boundary_matches_spark_round(spark):
     from ganda_spark.operators.similarity import round_ge_boundary
 
