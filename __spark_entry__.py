@@ -1225,18 +1225,16 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = lsh_band_hashes(sigs, k=8, rows_per_band=2).select(
         "doc_id", "band_0", "band_1", "band_2", "band_3"
     ).persist()
-    # Broadcast gate from the band-bucket histogram (Σ c·(c−1)/2 over the
-    # persisted band table) — an UPPER BOUND on candidate pairs that costs
-    # one narrow aggregate, not a materialization of the pair self-join.
-    # r2's limit+count probe ran the whole pair job serially before the
-    # verify job (the +33% bench regression, VERDICT r2 #1); the bound
-    # keeps the degenerate-band OOM guard with none of that cost, and the
-    # pair set no longer needs its own persist (single consumer again).
-    from ganda_spark.operators.dedup import candidate_pair_bound
+    # r7 (guide §8): candidate generation + verify FUSED per bucket
+    # (lsh_verified_pairs) — the two-step pairs→verify flow shuffled both
+    # shingle arrays as payload on every candidate pair row (4.5 GB /
+    # 41 s at the 10× bench) where a bucket of c docs holds only c
+    # arrays; the fused form ships arrays once per bucket membership and
+    # materializes pairs narrow. Output row-identical (test-pinned), and
+    # the broadcast gate is moot — no pair set is ever broadcast.
+    from ganda_spark.operators.dedup import lsh_verified_pairs
 
-    ub = candidate_pair_bound(banded, k=8, rows_per_band=2)
-    pairs = lsh_candidate_pairs(banded, k=8, rows_per_band=2, broadcast_bands=True)
-    verified = jaccard_verify(pairs, docs, broadcast_pairs=ub <= 5_000_000)
+    verified = lsh_verified_pairs(banded, docs, k=8, rows_per_band=2)
     return verified.where(F.col("jaccard") >= 0.5)
 
 
@@ -1431,10 +1429,13 @@ def q_dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = lsh_band_hashes(sigs, k=8, rows_per_band=2).select(
         "doc_id", "band_0", "band_1", "band_2", "band_3"
     ).persist()
-    pairs = lsh_candidate_pairs(
-        banded, k=8, rows_per_band=2, broadcast_bands=True, max_bucket=3
+    # r7 (guide §8): fused per-bucket verify — see q_dedup_minhash_lsh;
+    # the cap drops the same buckets via the same histogram semi-join
+    from ganda_spark.operators.dedup import lsh_verified_pairs
+
+    verified = lsh_verified_pairs(
+        banded, docs, k=8, rows_per_band=2, max_bucket=3
     )
-    verified = jaccard_verify(pairs, docs, broadcast_pairs=True)
     return verified.where(F.col("jaccard") >= 0.5)
 
 
@@ -3368,7 +3369,7 @@ def _sql_minhash_incremental() -> str:
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ganda_spark.operators.dedup import candidate_pair_bound, connected_components
+    from ganda_spark.operators.dedup import connected_components, lsh_verified_pairs
 
     docs = with_shingles(_near_corpus(spark, sf_dir)).select(
         "doc_id", "shingles"
@@ -3376,9 +3377,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = lsh_band_hashes(minhash_signatures(docs, k=8), k=8, rows_per_band=2).select(
         "doc_id", "band_0", "band_1", "band_2", "band_3"
     ).persist()
-    ub = candidate_pair_bound(banded, k=8, rows_per_band=2)
-    pairs = lsh_candidate_pairs(banded, k=8, rows_per_band=2, broadcast_bands=True)
-    verified = jaccard_verify(pairs, docs, broadcast_pairs=ub <= 5_000_000).where(
+    # r7 (guide §8): fused per-bucket verify — see q_dedup_minhash_lsh
+    verified = lsh_verified_pairs(banded, docs, k=8, rows_per_band=2).where(
         F.col("jaccard") >= 0.5
     )
     cc = connected_components(verified)
@@ -3425,9 +3425,9 @@ def q_curate_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     before training. Composes lsh pairs + jaccard verify +
     connected_components + keep_best_per_cluster."""
     from ganda_spark.operators.dedup import (
-        candidate_pair_bound,
         connected_components,
         keep_best_per_cluster,
+        lsh_verified_pairs,
     )
 
     corpus = _near_corpus(spark, sf_dir)
@@ -3435,9 +3435,8 @@ def q_curate_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = lsh_band_hashes(minhash_signatures(docs, k=8), k=8, rows_per_band=2).select(
         "doc_id", "band_0", "band_1", "band_2", "band_3"
     ).persist()
-    ub = candidate_pair_bound(banded, k=8, rows_per_band=2)
-    pairs = lsh_candidate_pairs(banded, k=8, rows_per_band=2, broadcast_bands=True)
-    verified = jaccard_verify(pairs, docs, broadcast_pairs=ub <= 5_000_000).where(
+    # r7 (guide §8): fused per-bucket verify — see q_dedup_minhash_lsh
+    verified = lsh_verified_pairs(banded, docs, k=8, rows_per_band=2).where(
         F.col("jaccard") >= 0.5
     )
     cc = connected_components(verified)
@@ -4383,7 +4382,6 @@ def q_dedup_media_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs ≥ 3 chunks, so chunk-set Jaccard ≥ 2/3) — found at ≥ 0.5.
     Same scale shape as dedup_minhash_lsh: signatures persisted once,
     bucket-keyed pair join, histogram-gated verify broadcast."""
-    from ganda_spark.operators.dedup import candidate_pair_bound
     from ganda_spark.operators.media import with_media_shingles
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -4405,9 +4403,10 @@ def q_dedup_media_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = lsh_band_hashes(sigs, k=8, rows_per_band=2).select(
         "doc_id", "band_0", "band_1", "band_2", "band_3"
     ).persist()
-    ub = candidate_pair_bound(banded, k=8, rows_per_band=2)
-    pairs = lsh_candidate_pairs(banded, k=8, rows_per_band=2, broadcast_bands=True)
-    verified = jaccard_verify(pairs, sh, broadcast_pairs=ub <= 5_000_000)
+    # r7 (guide §8): fused per-bucket verify — see q_dedup_minhash_lsh
+    from ganda_spark.operators.dedup import lsh_verified_pairs
+
+    verified = lsh_verified_pairs(banded, sh, k=8, rows_per_band=2)
     return verified.where(F.col("jaccard") >= 0.5)
 
 
@@ -4769,7 +4768,6 @@ def q_dedup_spans_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (third shingle domain after text n-grams and media chunks). Planted
     near-dups = the same doc with its image span dropped (shares 3/4 or
     4/5 spans → Jaccard ≥ 0.75) — found at the ≥ 0.5 gate."""
-    from ganda_spark.operators.dedup import candidate_pair_bound
     from ganda_spark.sources.spans import with_span_shingles
 
     docs = synth_span_docs(spark, sf_dir)
@@ -4785,9 +4783,11 @@ def q_dedup_spans_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = lsh_band_hashes(sigs, k=8, rows_per_band=2).select(
         "doc_id", "band_0", "band_1", "band_2", "band_3"
     ).persist()
-    ub = candidate_pair_bound(banded, k=8, rows_per_band=2)
-    pairs = lsh_candidate_pairs(banded, k=8, rows_per_band=2, broadcast_bands=True)
-    verified = jaccard_verify(pairs, sh, broadcast_pairs=ub <= 5_000_000)
+    # r7 (guide §8): fused per-bucket verify — see q_dedup_minhash_lsh
+    # (string doc ids: ASCII, so Python and UTF8-binary order agree)
+    from ganda_spark.operators.dedup import lsh_verified_pairs
+
+    verified = lsh_verified_pairs(banded, sh, k=8, rows_per_band=2)
     return verified.where(F.col("jaccard") >= 0.5)
 
 

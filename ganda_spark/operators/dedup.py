@@ -213,6 +213,105 @@ def lsh_candidate_pairs(
     return pairs
 
 
+def lsh_verified_pairs(
+    banded: DataFrame,
+    docs_with_shingles: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 8,
+    rows_per_band: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Candidate generation + exact Jaccard verify FUSED per LSH bucket —
+    the guide-§8 move for the first-build dedup shape: the two-step
+    `lsh_candidate_pairs` → `jaccard_verify` flow materialized every
+    candidate pair CARRYING both shingle arrays (the verify's second join
+    sort-merge-shuffled ~KB of array payload per pair — measured 4.5 GB /
+    41 s for 726k pairs at the 10× bench), where the pairs themselves
+    derive from shared buckets holding only c arrays for c·(c−1)/2 pairs.
+    Here the shingle arrays travel ONCE per bucket membership (n_docs ×
+    n_bands rows — corpus-linear, never pair-quadratic), each (band, bh)
+    group computes its within-bucket pairs' intersection/union SIZES with
+    C-speed set ops in one Arrow pass, and only narrow
+    (id_a, id_b, _i, _u) rows reach the cross-bucket distinct. Division
+    and round stay in Catalyst, so every output double (0/0 ANSI raise
+    included) is the identical expression to jaccard_verify's.
+
+    Output: distinct (id_a < id_b, jaccard) — row-identical to
+    `jaccard_verify(lsh_candidate_pairs(banded, ...), docs, ...)`
+    (pinned by test): a pair sharing ≥1 band hash appears exactly once,
+    and _i/_u are deterministic per pair so the 4-column distinct
+    collapses multi-bucket duplicates. NULL shingle docs yield NULL
+    sizes ⇒ NULL jaccard, as the join form does.
+
+    max_bucket: the same degenerate-bucket cap as lsh_candidate_pairs
+    (histogram + semi-join on the bucket key; dropped buckets generate
+    no pairs).
+
+    Skew posture: one bucket = one task (the join form had the same
+    per-bucket skew at the exchange); the cap is the production guard.
+
+    Id ordering: pairs are emitted with id_a < id_b under PYTHON's
+    comparison — identical to Spark's for numeric ids and for ASCII
+    strings (Spark compares UTF8 bytes, Python code points; these agree
+    on ASCII). Non-ASCII string ids should map to a surrogate first.
+    """
+    import pandas as pd
+
+    all_bands = band_long(banded, id_col, k, rows_per_band)
+    if max_bucket is not None:
+        keep = (
+            all_bands.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .where(F.col("_c") <= max_bucket)
+            .select("band", "bh")
+        )
+        all_bands = all_bands.join(keep, ["band", "bh"], "left_semi")
+    sh = docs_with_shingles.select(
+        F.col(id_col), F.array_distinct("shingles").alias("_sh")
+    )
+    grouped = all_bands.join(sh, id_col)
+
+    id_type = dict(grouped.dtypes)[id_col]
+    out_schema = f"id_a {id_type}, id_b {id_type}, _i int, _u int"
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].tolist()
+        arrs = pdf["_sh"].tolist()
+        order = sorted(range(len(ids)), key=lambda r: ids[r])
+        sets = [
+            None if arrs[r] is None else frozenset(arrs[r]) for r in order
+        ]
+        sids = [ids[r] for r in order]
+        oa, ob, oi, ou = [], [], [], []
+        for x in range(len(sids)):
+            sa = sets[x]
+            for y in range(x + 1, len(sids)):
+                if sids[x] == sids[y]:
+                    continue  # same doc listed twice in one bucket
+                sb = sets[y]
+                if sa is None or sb is None:
+                    inter = un = None
+                else:
+                    inter = len(sa & sb)
+                    un = len(sa) + len(sb) - inter
+                oa.append(sids[x])
+                ob.append(sids[y])
+                oi.append(inter)
+                ou.append(un)
+        return pd.DataFrame({"id_a": oa, "id_b": ob, "_i": oi, "_u": ou})
+
+    counted = (
+        grouped.groupBy("band", "bh")
+        .applyInPandas(bucket_pairs, out_schema)
+        .distinct()
+    )
+    return counted.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("_i") / F.col("_u"), 4).alias("jaccard"),
+    )
+
+
 def _should_broadcast_pairs(pairs: DataFrame, max_broadcast_pairs: int) -> bool:
     """True when the candidate-pair set is provably under the broadcast
     bound (limit+count terminates early past the bound, so the probe is

@@ -275,6 +275,46 @@ def test_semantic_incremental_numpy_equals_join_fallback(spark):
     )
 
 
+# --- fused per-bucket LSH verify ≡ pairs→verify two-step -------------------
+
+
+def test_lsh_verified_pairs_equals_two_step(spark, sf_dir):
+    """lsh_verified_pairs must be row-identical to
+    jaccard_verify(lsh_candidate_pairs(...)): same distinct pair set
+    (multi-bucket pairs collapse to one row), same jaccard doubles, and
+    the max_bucket cap drops the same degenerate buckets."""
+    import __spark_entry__ as entry
+    from ganda_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_band_hashes,
+        lsh_candidate_pairs,
+        lsh_verified_pairs,
+        minhash_signatures,
+        with_shingles,
+    )
+
+    docs = with_shingles(entry._near_corpus(spark, sf_dir).limit(400)).persist()
+    banded = lsh_band_hashes(minhash_signatures(docs, k=8), k=8, rows_per_band=2)
+    banded = banded.persist()
+
+    def key(r):
+        j = r.jaccard
+        j = "nan" if (j is not None and j != j) else j
+        return (r.id_a, r.id_b, j)
+
+    for cap in (None, 3):
+        pairs = lsh_candidate_pairs(
+            banded, k=8, rows_per_band=2, max_bucket=cap
+        )
+        ref = jaccard_verify(pairs, docs, broadcast_pairs=True).collect()
+        got = lsh_verified_pairs(
+            banded, docs, k=8, rows_per_band=2, max_bucket=cap
+        ).collect()
+        assert sorted(map(key, got)) == sorted(map(key, ref)), f"cap={cap}"
+    docs.unpersist()
+    banded.unpersist()
+
+
 # --- Arrow ivf_assign ≡ Catalyst max_by aggregate --------------------------
 
 
