@@ -1104,13 +1104,19 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ganda_spark.operators.dedup import exact_dup_groups
 
     corpus = _dup_corpus(spark, sf_dir)
-    scored = quality_metrics(lang_id(corpus))
-    # persist: gated feeds both the keeper aggregate and the final join —
-    # each branch otherwise re-runs the lang-ID script counts + quality
-    # regexps over the corpus (guide §5; the two heaviest projections here)
+    # persist ABOVE the gate (r7, the release-pipeline lesson): filtering
+    # on the derived lang/quality columns pushes the predicates below the
+    # projection and re-runs the lang-ID script counts + quality regexps
+    # once per predicate in the cache-fill plan; caching the scored frame
+    # makes the chains run ONCE, the gate a trivial filter over the cache
+    # scan — and the cache still serves both the keeper aggregate and the
+    # final join (the original guide-§5 reason for the persist).
+    scored = quality_metrics(lang_id(corpus)).select(
+        "doc_id", "text", "lang_guess", "quality_score_bp", "n_words"
+    ).persist()
     gated = scored.where(
         (F.col("quality_score_bp") >= 5000) & (F.col("lang_guess") == "en")
-    ).persist()
+    )
     keepers = exact_dup_groups(gated).select(
         F.col("keep_id").alias("doc_id"),
         F.col("n_docs").cast("long").alias("n_copies"),

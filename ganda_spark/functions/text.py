@@ -129,17 +129,17 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.regexp_extract_all(F.col(text_col), F.lit("[A-Za-z]"), 0)
     ).cast("long")
     # stopword vote: (hits, -alphabetical_rank) max → most hits, ties to
-    # the alphabetically first language — identical to the r1-r5 rule
-    w = f"split({text_col}, ' ')"
-    votes = F.array(
-        *[
-            F.struct(
-                F.expr(_hits(w, LANG_STOPWORDS[lang])).cast("long").alias("hits"),
-                F.lit(-i).alias("nrank"),
-                F.lit(lang).alias("lang"),
-            )
-            for i, lang in enumerate(sorted(LANG_STOPWORDS))
-        ]
+    # the alphabetically first language — identical to the r1-r5 rule.
+    # r7: the split is BOUND ONCE as a lambda variable (the ngram_col
+    # lesson) — as a textual fragment it was re-evaluated once per
+    # language struct (7× per row) in the interpreted filter HOFs.
+    structs = ", ".join(
+        f"named_struct('hits', CAST({_hits('w', LANG_STOPWORDS[lang])} AS BIGINT), "
+        f"'nrank', {-i}, 'lang', '{lang}')"
+        for i, lang in enumerate(sorted(LANG_STOPWORDS))
+    )
+    votes = F.expr(
+        f"transform(array(split({text_col}, ' ')), w -> array({structs}))[0]"
     )
     bestv = F.array_max(votes)
     vote = F.when(bestv["hits"] > 0, bestv["lang"]).otherwise(F.lit("und"))
