@@ -417,6 +417,25 @@ def kmeans_centroids(
     cent = emb.where(F.col(id_col) < n_centroids).select(
         F.col(id_col).cast("long").alias(id_col), as_double(F.col(vec_col)).alias(vec_col)
     )
+    if use_arrow and iters > 0:
+        # r7 (guide §5): ONE persisted skinny (vec, bp) projection shared
+        # by every iteration — each Arrow update otherwise re-derived the
+        # corpus plan (parquet scan + caller's union/cast chain) per
+        # iteration. Every iteration is collect-localized (C rows, the
+        # established exact round-trip), so the cache can be released
+        # before returning and no consumer re-enters the Lloyd's chain.
+        rows = _kmeans_rows(emb, vec_col).persist()
+        try:
+            for _ in range(iters):
+                cent = _kmeans_update_arrow(
+                    emb, cent, dim, id_col, vec_col, rows=rows
+                )
+                cent = emb.sparkSession.createDataFrame(
+                    cent.collect(), f"{id_col} long, {vec_col} array<double>"
+                )
+        finally:
+            rows.unpersist()
+        return cent
     for it in range(iters):
         if use_arrow:
             cent = _kmeans_update_arrow(emb, cent, dim, id_col, vec_col)
@@ -502,12 +521,26 @@ def _kmeans_update_catalyst(
     )
 
 
+def _kmeans_rows(emb: DataFrame, vec_col: str) -> DataFrame:
+    """The skinny (double vector, bp-rounded int64 vector) projection the
+    Arrow Lloyd's update consumes — split out so kmeans_centroids can
+    persist it ONCE across iterations (guide §5)."""
+    return emb.select(
+        as_double(F.col(vec_col)).alias("_kv"),
+        F.expr(
+            f"transform({vec_col}, v -> "
+            "CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT))"
+        ).alias("_kbp"),
+    )
+
+
 def _kmeans_update_arrow(
     emb: DataFrame,
     cent: DataFrame,
     dim: int,
     id_col: str,
     vec_col: str,
+    rows: DataFrame | None = None,
 ) -> DataFrame:
     """One Lloyd's update as a SINGLE Arrow pass (guide §4.2): per
     partition, NumPy computes each row's nearest centroid and accumulates
@@ -546,13 +579,8 @@ def _kmeans_update_arrow(
             spark.createDataFrame([], f"list_id long, {vec_col} array<double>"),
             dim, dim + 1, id_col, vec_col,
         )
-    rows = emb.select(
-        as_double(F.col(vec_col)).alias("_kv"),
-        F.expr(
-            f"transform({vec_col}, v -> "
-            "CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT))"
-        ).alias("_kbp"),
-    )
+    if rows is None:
+        rows = _kmeans_rows(emb, vec_col)
 
     def partials(it):
         import numpy as np

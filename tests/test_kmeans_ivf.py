@@ -177,11 +177,12 @@ def test_semantic_dedup_threshold_and_determinism(spark, sf_dir):
 
 
 def test_ivf_assign_corpus_side_is_aggregate_not_window(spark, sf_dir):
-    """The nprobe=1 corpus assignment must plan as an argmax AGGREGATE
-    (map-side partial combine, N-row exchange), never the window form
+    """The nprobe=1 corpus assignment must never plan as the window form
     that shuffles the full N×C candidate expansion (the r5 rehearsal
-    scale fix); the query side (nprobe>1) legitimately keeps its
-    per-vector top-nprobe window."""
+    scale fix). r7 default: ONE Arrow map stage — no Window, no Exchange
+    at all; the use_arrow=False reference keeps the argmax-aggregate
+    shape. The query side (nprobe>1) legitimately keeps its per-vector
+    top-nprobe window."""
     from ganda_spark.operators.similarity import ivf_assign
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -191,7 +192,14 @@ def test_ivf_assign_corpus_side_is_aggregate_not_window(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" not in corpus_plan
-    assert "max_by" in corpus_plan or "HashAggregate" in corpus_plan
+    assert "MapInPandas" in corpus_plan
+    assert "Exchange" not in corpus_plan
+    catalyst_plan = (
+        ivf_assign(emb, cent, nprobe=1, use_arrow=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in catalyst_plan
+    assert "max_by" in catalyst_plan or "HashAggregate" in catalyst_plan
     probe_plan = (
         ivf_assign(emb.where(F.col("vec_id") < 10), cent, nprobe=2)
         ._jdf.queryExecution().executedPlan().toString()
