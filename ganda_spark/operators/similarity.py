@@ -51,17 +51,241 @@ def cosine_pre(av, an, bv, bn) -> Column:
     return dot(av, bv) / (an * bn)
 
 
+def _batch_topk_select(nids, key, valid, k):
+    """Batch-local candidate pruning for a two-level exact top-k: returns
+    indices covering every row that can reach the GLOBAL top-k under
+    Spark's (score DESC, nid ASC) order with NaN above every double and
+    NULL below — i.e. per category, ordered: up to k NaN rows by lowest
+    nid, the top-k valid rows by (key desc, nid asc), and up to k
+    invalid (NULL-score) rows by lowest nid. `key` float array (NaN
+    allowed), `valid` bool mask (False ⇒ NULL score)."""
+    import numpy as np
+
+    out = []
+    nanm = valid & np.isnan(key)
+    okm = valid & ~nanm
+    for mask in (nanm, ~valid):
+        idx = np.nonzero(mask)[0]
+        if len(idx):
+            order = np.argsort(nids[idx], kind="stable")[:k]
+            out.append(idx[order])
+    idx = np.nonzero(okm)[0]
+    if len(idx):
+        order = np.lexsort((nids[idx], -key[idx]))[:k]
+        out.append(idx[order])
+    if not out:
+        return np.empty(0, dtype=np.int64)
+    return np.concatenate(out)
+
+
+def _topk_candidates_arrow(
+    emb: DataFrame,
+    q_rows,
+    R: int,
+    id_col: str,
+    vec_col: str,
+    integer_codes: bool,
+    code_expr=None,
+):
+    """Shared candidate stage for the Arrow top-k paths: the Catalyst
+    form joined the corpus against the broadcast query set and windowed
+    the FULL N×Q expansion — per-pair interpreted folds plus (for the
+    quantized path) double arrays as window-exchange payload. Here the
+    (bounded, localized) query vectors score each corpus batch in NumPy
+    and only the batch-local top-R survivors per query reach the global
+    window — narrow (qid, nid, score) rows, exact two-level top-R.
+
+    EXACTNESS: integer scores (integer_codes=True) are order-free;
+    double cosines accumulate dimension-sequentially with the one-
+    product-one-divide of cosine_pre (the _pair_dup_arrays contract).
+    Cross-length pairs, NULL vectors and NULL elements score NULL
+    (zip_with semantics — the element-null flag is computed in Catalyst)
+    and are pruned under NULL-below-everything, NaN-above-everything,
+    ties to the lowest neighbor id — Spark's (score DESC, nid ASC)."""
+    import pandas as pd
+
+    score_t = "bigint" if integer_codes else "double"
+    c = emb.select(
+        F.col(id_col).alias("nid"),
+        (code_expr if code_expr is not None else F.col(vec_col)).alias("_cv"),
+        F.expr(
+            f"exists({vec_col}, x -> x is null)"
+        ).alias("_hn"),
+    )
+    id_t = dict(c.dtypes)["nid"]
+
+    qs = []  # (qid, vector or None)
+    for r in q_rows:
+        v = r[1]
+        if v is None or any(x is None for x in v):
+            qs.append((r[0], None))
+        else:
+            qs.append((r[0], [float(x) if not integer_codes else int(x) for x in v]))
+
+    # NaN cannot cross the pandas→Arrow boundary (it arrives as NULL),
+    # so it rides as an explicit marker column and is reconstructed in
+    # Catalyst by the wrapper (`when(_snan, double NaN)`)
+    out_schema = f"qid {id_t}, nid {id_t}, _score {score_t}, _snan boolean"
+
+    def fn(it):
+        import numpy as np
+
+        dt = np.int64 if integer_codes else np.float64
+        by_len: dict[int, list] = {}
+        null_q = []
+        for qid, v in qs:
+            if v is None:
+                null_q.append(qid)
+            else:
+                by_len.setdefault(len(v), []).append((qid, v))
+        prepped = {}
+        for L, items in by_len.items():
+            Q = np.array([v for _, v in items], dtype=dt).reshape(len(items), L)
+            qn = None
+            if not integer_codes:
+                acc = np.zeros(len(items))
+                for d in range(L):
+                    col = Q[:, d]
+                    acc = acc + col * col
+                qn = np.sqrt(acc)
+            prepped[L] = ([q for q, _ in items], Q, qn)
+        for pdf in it:
+            n = len(pdf)
+            if not n:
+                continue
+            nids_raw = pdf["nid"].to_numpy()
+            vecs = pdf["_cv"].tolist()
+            hn = pdf["_hn"].to_numpy()
+            lens = np.array(
+                [-1 if (v is None or h) else len(v)
+                 for v, h in zip(vecs, hn)],
+                dtype=np.int64,
+            )
+            oq, on, os_, osn = [], [], [], []
+            for L, (qids, Q, qn) in prepped.items():
+                sel = np.nonzero(lens == L)[0]
+                scores = None
+                if len(sel):
+                    V = np.array(
+                        [vecs[i] for i in sel], dtype=dt
+                    ).reshape(len(sel), L)
+                    if integer_codes:
+                        scores = V @ Q.T  # integer: exact in any order
+                    else:
+                        vacc = np.zeros(len(sel))
+                        for d in range(L):
+                            col = V[:, d]
+                            vacc = vacc + col * col
+                        vn = np.sqrt(vacc)
+                        D = np.zeros((len(sel), len(qids)))
+                        for d in range(L):
+                            D += V[:, d][:, None] * Q[:, d][None, :]
+                        with np.errstate(divide="ignore", invalid="ignore"):
+                            scores = D / (qn[None, :] * vn[:, None])
+                nsel = np.nonzero(lens != L)[0]
+                for col_i, qid in enumerate(qids):
+                    if len(sel):
+                        key = scores[:, col_i].astype(np.float64) \
+                            if integer_codes else scores[:, col_i]
+                        notself = nids_raw[sel] != qid
+                        pick = _batch_topk_select(
+                            nids_raw[sel][notself], key[notself],
+                            np.ones(int(notself.sum()), dtype=bool), R,
+                        )
+                        base = np.nonzero(notself)[0]
+                        for p in pick:
+                            i = sel[base[p]]
+                            oq.append(qid)
+                            on.append(nids_raw[i])
+                            s = (
+                                int(scores[base[p], col_i])
+                                if integer_codes
+                                else float(key[base[p]])
+                            )
+                            if not integer_codes and s != s:
+                                os_.append(None)
+                                osn.append(True)
+                            else:
+                                os_.append(s)
+                                osn.append(False)
+                    # rows of OTHER lengths / null rows: NULL score
+                    if len(nsel):
+                        cand = nids_raw[nsel]
+                        cand = cand[cand != qid]
+                        for nid in np.sort(cand, kind="stable")[:R]:
+                            oq.append(qid)
+                            on.append(nid)
+                            os_.append(None)
+                            osn.append(False)
+            for qid in null_q:
+                cand = nids_raw[nids_raw != qid]
+                for nid in np.sort(cand, kind="stable")[:R]:
+                    oq.append(qid)
+                    on.append(nid)
+                    os_.append(None)
+                    osn.append(False)
+            # _score stays OBJECT-dtyped: a numeric pandas column would
+            # coerce None to NaN, and NULL (ranks below everything) must
+            # not become NaN (ranks above everything)
+            yield pd.DataFrame(
+                {
+                    "qid": oq,
+                    "nid": on,
+                    "_score": pd.Series(os_, dtype=object),
+                    "_snan": pd.Series(osn, dtype=bool),
+                }
+            )
+
+    return c.mapInPandas(fn, out_schema)
+
+
 def brute_force_topk(
     emb: DataFrame,
     query_ids: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_arrow: bool = True,
+    max_local_queries: int = 4096,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query id (excluding self).
-    The corpus side broadcasts the (small) query set — one scan of N."""
+    One scan of N. r7 default: the candidate stage runs as an Arrow map
+    over the corpus with the (bounded, localized) query set — batch-local
+    top-k pruning, dimension-sequential cosines (bit-exact vs the
+    Catalyst fold, pinned by test) — and only narrow candidate rows reach
+    the per-query window; the final rank and round(cos, 4) are the
+    unchanged Catalyst expressions. The Catalyst join form remains behind
+    use_arrow=False and as the too-many-queries fallback. (Zero-norm
+    vectors take the NaN route in the Arrow stage where ANSI raised —
+    the pair scan's documented upgrade.)"""
     from pyspark.sql import Window
 
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    if use_arrow:
+        q_rows = (
+            query_ids.select(F.col(id_col), as_double(F.col(vec_col)))
+            .limit(max_local_queries + 1)
+            .collect()
+        )
+        if len(q_rows) <= max_local_queries:
+            raw = _topk_candidates_arrow(
+                emb, q_rows, k, id_col, vec_col, integer_codes=False
+            )
+            cand = raw.select(
+                "qid",
+                "nid",
+                F.when(F.col("_snan"), F.lit(float("nan")))
+                .otherwise(F.col("_score"))
+                .alias("cos"),
+            )
+            return (
+                cand.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select(
+                    "qid", "nid", F.col("rank").cast("long").alias("rank"),
+                    F.round("cos", 4).alias("cos_r"),
+                )
+            )
     q = query_ids.select(
         F.col(id_col).alias("qid"),
         as_double(F.col(vec_col)).alias("qv"),
@@ -79,7 +303,6 @@ def brute_force_topk(
             cosine_pre(F.col("qv"), F.col("qn"), F.col("nv"), F.col("nn")).alias("cos"),
         )
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
@@ -1012,12 +1235,20 @@ def quantize_unit_col(vec_col: Column) -> Column:
             lambda acc, x: acc + x.cast("double") * x.cast("double"),
         )
     )
+    # r7: the norm is BOUND ONCE as an outer lambda variable (the
+    # ngram_col lesson) — embedded directly in the per-element lambda it
+    # was re-folded over the whole array once PER ELEMENT (~d² interpreted
+    # ops/row: measured 18.9 s → 1.3 s for the 10× code projection),
+    # identical codes (same norm double, same per-element arithmetic).
     return F.transform(
-        vec_col,
-        lambda x: F.when(
-            norm > 0, F.round(x.cast("double") * 127.0 / norm)
-        ).otherwise(F.lit(0.0)).cast("long"),
-    )
+        F.array(norm),
+        lambda nrm: F.transform(
+            vec_col,
+            lambda x: F.when(
+                nrm > 0, F.round(x.cast("double") * 127.0 / nrm)
+            ).otherwise(F.lit(0.0)).cast("long"),
+        ),
+    )[0]
 
 
 def int_dot(a, b) -> Column:
@@ -1038,6 +1269,7 @@ def quantized_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Scalar-quantized ANN: candidates are scored with the EXACT integer
     dot over int8-quantized vectors (cheap, cache-friendly, deterministic),
@@ -1045,14 +1277,57 @@ def quantized_topk(
     original doubles, and the final top-k is exact within the candidate
     set. The classic memory/recall dial: refine ↑ → recall → 1.
 
-    Plan: a single corpus scan scoring integer dots against the broadcast
-    quantized query set — the same join shape as brute force but with
-    integer arithmetic in the inner loop and the wide double vectors
-    touched only for the k·refine survivors. No training pass and no
-    corpus aggregate: the code is a row-local expression."""
+    Plan (r7): the integer candidate stage runs as an Arrow map over the
+    corpus with the (bounded, localized) quantized query set — batch-
+    local top-(k·refine) pruning, integer dots exact in any order — so
+    the per-query window sees narrow candidate rows instead of the full
+    N×Q expansion CARRYING both double arrays (the r6 form's window
+    exchange shipped ~1 KB of vector payload per pair and paid one
+    interpreted zip_with fold each: measured 12.1 s → ~2 s at the 10×
+    bench). The k·refine survivors then re-attach their double vectors
+    by id (survivor-broadcast joins) and the exact-cosine re-rank and
+    round are the UNCHANGED Catalyst expressions. The Catalyst candidate
+    join remains behind use_arrow=False (equivalence test-pinned) and as
+    the too-many-queries fallback."""
     from pyspark.sql import Window
 
     qz = quantize_unit_col(F.col(vec_col))
+    q_rows = (
+        query_ids.select(F.col(id_col), qz).limit(4097).collect()
+        if use_arrow
+        else [None] * 4097
+    )
+    wi = Window.partitionBy("qid").orderBy(F.col("iscore").desc(), F.col("nid").asc())
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    if use_arrow and len(q_rows) <= 4096:
+        cand = _topk_candidates_arrow(
+            emb, q_rows, k * refine, id_col, vec_col,
+            integer_codes=True, code_expr=qz,
+        ).withColumnRenamed("_score", "iscore").drop("_snan")
+        sv = (
+            cand.withColumn("_irk", F.row_number().over(wi))
+            .where(F.col("_irk") <= k * refine)
+            .select("qid", "nid")
+        )
+        qv_tbl = query_ids.select(
+            F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv")
+        )
+        nv_tbl = emb.select(
+            F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("nv")
+        )
+        survivors = (
+            nv_tbl.join(F.broadcast(sv), "nid")
+            .join(F.broadcast(qv_tbl), "qid")
+            .select("qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("cos"))
+        )
+        return (
+            survivors.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(
+                "qid", "nid", F.col("rank").cast("long").alias("rank"),
+                F.round("cos", 4).alias("cos_r"),
+            )
+        )
     c = emb.select(
         F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("nv"),
         qz.alias("nq"),
@@ -1068,13 +1343,11 @@ def quantized_topk(
             int_dot(F.col("nq"), F.col("qq")).alias("iscore"),
         )
     )
-    wi = Window.partitionBy("qid").orderBy(F.col("iscore").desc(), F.col("nid").asc())
     survivors = (
         cand.withColumn("_irk", F.row_number().over(wi))
         .where(F.col("_irk") <= k * refine)
         .select("qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("cos"))
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
     return (
         survivors.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)

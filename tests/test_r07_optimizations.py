@@ -275,6 +275,54 @@ def test_semantic_incremental_numpy_equals_join_fallback(spark):
     )
 
 
+# --- Arrow top-k candidate stages ≡ Catalyst join+window forms -------------
+
+
+def _topk_fixture(spark, with_nan=True):
+    rng = random.Random(77)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(300)
+    ]
+    rows.append((400, list(rows[3][1])))       # exact duplicate of id 3
+    rows.append((401, [1.0, 2.0]))              # length matches no query
+    rows.append((402, None))                    # NULL vector
+    rows.append((403, [None] + [0.5] * 7))      # NULL element
+    if with_nan:
+        rows.append((404, [float("nan")] + [0.5] * 7))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_brute_topk_arrow_equals_catalyst(spark):
+    """The Arrow candidate stage must reproduce the Catalyst broadcast-
+    join + window form row-for-row: exact ranks, bit-exact rounded
+    cosines, NaN candidates ranked first, NULL (cross-length / NULL-
+    vector / NULL-element) candidates last, self-pair excluded."""
+    from ganda_spark.operators.similarity import brute_force_topk
+
+    emb = _topk_fixture(spark).persist()
+    q = emb.where((F.col("vec_id") % 29 == 0) | (F.col("vec_id") >= 400))
+    key = lambda r: (r.qid, r.rank, r.nid, repr(r.cos_r))  # noqa: E731
+    a = brute_force_topk(emb, q, k=5, use_arrow=True).collect()
+    c = brute_force_topk(emb, q, k=5, use_arrow=False).collect()
+    assert sorted(map(key, a)) == sorted(map(key, c))
+    emb.unpersist()
+
+
+def test_quantized_topk_arrow_equals_catalyst(spark):
+    """Same contract for the quantized candidate stage: identical
+    survivor sets under the integer order (exact in any summation
+    order), identical exact-cosine re-rank."""
+    from ganda_spark.operators.similarity import quantized_topk
+
+    emb = _topk_fixture(spark, with_nan=False).persist()
+    q = emb.where((F.col("vec_id") % 29 == 0) | (F.col("vec_id") >= 400))
+    key = lambda r: (r.qid, r.rank, r.nid, repr(r.cos_r))  # noqa: E731
+    a = quantized_topk(emb, q, k=5, refine=3, use_arrow=True).collect()
+    c = quantized_topk(emb, q, k=5, refine=3, use_arrow=False).collect()
+    assert sorted(map(key, a)) == sorted(map(key, c))
+    emb.unpersist()
+
+
 # --- fused per-bucket LSH verify ≡ pairs→verify two-step -------------------
 
 
