@@ -220,6 +220,7 @@ def lsh_verified_pairs(
     k: int = 8,
     rows_per_band: int = 2,
     max_bucket: int | None = None,
+    dense_pairs_per_bucket: float = 8.0,
 ) -> DataFrame:
     """Candidate generation + exact Jaccard verify FUSED per LSH bucket —
     the guide-§8 move for the first-build dedup shape: the two-step
@@ -254,21 +255,55 @@ def lsh_verified_pairs(
     comparison — identical to Spark's for numeric ids and for ASCII
     strings (Spark compares UTF8 bytes, Python code points; these agree
     on ASCII). Non-ASCII string ids should map to a surrogate first.
+
+    ROUTING (plan-only, measured §1): the fused grouped pass pays a
+    per-GROUP Arrow overhead, so it wins when buckets are dense (the
+    self-join corpora: ~60 pair-slots/bucket → 41 s → 9 s) and loses
+    when the corpus shatters into tiny buckets (the span corpus: 233k
+    buckets at ~0.4 pair-slots each → 26 s vs 3.8 s two-step). One
+    histogram pass (the same key the shuffle uses) drops singleton
+    buckets — they generate nothing — and routes: pair-slots/bucket ≥
+    `dense_pairs_per_bucket` takes the grouped pass, below it the
+    classic pairs→verify join runs on the pre-filtered bands (identical
+    pair set; verify broadcast-gated on the same bound). Both branches
+    are row-identical (test-pinned).
     """
     import pandas as pd
 
     all_bands = band_long(banded, id_col, k, rows_per_band)
+    hist = all_bands.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("_c"))
     if max_bucket is not None:
-        keep = (
-            all_bands.groupBy("band", "bh")
-            .agg(F.count(F.lit(1)).alias("_c"))
-            .where(F.col("_c") <= max_bucket)
-            .select("band", "bh")
-        )
-        all_bands = all_bands.join(keep, ["band", "bh"], "left_semi")
+        hist = hist.where(F.col("_c") <= max_bucket)
+    hist = hist.where(F.col("_c") >= 2)
+    stats = hist.agg(
+        F.count(F.lit(1)).alias("_nb"),
+        F.sum(F.col("_c").cast("double") * (F.col("_c") - 1) / 2).alias("_ub"),
+    ).collect()[0]
+    n_buckets = int(stats["_nb"] or 0)
+    pair_bound = float(stats["_ub"] or 0.0)
+    all_bands = all_bands.join(
+        hist.select("band", "bh"), ["band", "bh"], "left_semi"
+    )
     sh = docs_with_shingles.select(
         F.col(id_col), F.array_distinct("shingles").alias("_sh")
     )
+    if n_buckets == 0 or pair_bound < dense_pairs_per_bucket * n_buckets:
+        pairs = (
+            all_bands.alias("a")
+            .join(all_bands.alias("b"), ["band", "bh"])
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+        return jaccard_verify(
+            pairs,
+            docs_with_shingles,
+            id_col=id_col,
+            broadcast_pairs=pair_bound <= 5_000_000,
+        )
     grouped = all_bands.join(sh, id_col)
 
     id_type = dict(grouped.dtypes)[id_col]

@@ -355,10 +355,16 @@ def test_lsh_verified_pairs_equals_two_step(spark, sf_dir):
             banded, k=8, rows_per_band=2, max_bucket=cap
         )
         ref = jaccard_verify(pairs, docs, broadcast_pairs=True).collect()
-        got = lsh_verified_pairs(
-            banded, docs, k=8, rows_per_band=2, max_bucket=cap
-        ).collect()
-        assert sorted(map(key, got)) == sorted(map(key, ref)), f"cap={cap}"
+        # force BOTH routing branches (0 → always the fused grouped pass,
+        # 1e18 → always the two-step join over the pre-filtered bands)
+        for dense in (0.0, 1e18):
+            got = lsh_verified_pairs(
+                banded, docs, k=8, rows_per_band=2, max_bucket=cap,
+                dense_pairs_per_bucket=dense,
+            ).collect()
+            assert sorted(map(key, got)) == sorted(map(key, ref)), (
+                f"cap={cap} dense={dense}"
+            )
     docs.unpersist()
     banded.unpersist()
 
