@@ -243,7 +243,106 @@ def _hash_arr_sql(text_col: str, salt: int) -> str:
     )
 
 
-def embed_text(df: DataFrame, text_col: str = "text", dims: int = EMBED_DIMS) -> DataFrame:
+def _embed_text_arrow(df: DataFrame, text_col: str, dims: int) -> DataFrame:
+    """embed_text as ONE Arrow map stage (guide §4.2): the Catalyst form
+    pays ~2 µs of interpreted lambda per element across ~10 HOF folds per
+    row (hash transforms + per-dim sums) — measured ~11 s for 60k rows at
+    the 10× bench; here each task md5-hashes every DISTINCT word once
+    (hashlib, cached across batches), per-row byte sums are order-free
+    int64 NumPy adds, and the centering arithmetic replicates the Column
+    expression's IEEE op order exactly:
+      * sum_j exact integer (matches the sequential long fold);
+      * embedding[j] = (sum_j − 127.5·n)/n — int64→double conversions
+        exact below 2^53, one multiply/subtract/divide per element in
+        the same order;
+      * embedding_bp[j] = sum_j·10⁴ div n − 1 275 000 — non-negative
+        operands, so floor == Spark's truncating div;
+      * NULL text yields arrays of NULL elements (the fold-over-NULL
+        shape), split(' ') matches Python str.split(' ') including the
+        [''] result for empty text.
+    Equivalence is test-pinned exceptAll-empty both ways."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    n_salts = (dims + 5) // 6
+    schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("embedding", ArrayType(DoubleType()), True),
+            StructField("embedding_bp", ArrayType(LongType()), True),
+        ]
+    )
+    cols = df.columns
+
+    def fn(it):
+        import hashlib
+
+        import numpy as np
+
+        vocab: dict = {}
+        byte_rows: list = []
+
+        def code(w):
+            c = vocab.get(w)
+            if c is None:
+                c = len(vocab)
+                vocab[w] = c
+                vals = []
+                for s in range(n_salts):
+                    h = int(
+                        hashlib.md5(f"{s}:{w}".encode("utf-8")).hexdigest()[:12],
+                        16,
+                    )
+                    for b in range(6):
+                        vals.append((h >> (8 * b)) & 255)
+                byte_rows.append(vals[:dims])
+            return c
+
+        for pdf in it:
+            texts = pdf[text_col].tolist()
+            idx_rows = []
+            for t in texts:
+                if t is None:
+                    idx_rows.append(None)
+                else:
+                    ws = t.split(" ")
+                    idx_rows.append(
+                        np.fromiter(
+                            (code(w) for w in ws), dtype=np.int64, count=len(ws)
+                        )
+                    )
+            B = np.array(byte_rows, dtype=np.int64).reshape(len(byte_rows), dims)
+            embs, bps = [], []
+            for idx in idx_rows:
+                if idx is None:
+                    embs.append([None] * dims)
+                    bps.append([None] * dims)
+                    continue
+                n = len(idx)
+                S = B[idx].sum(axis=0)  # exact: integer, order-free
+                embs.append(((S - 127.5 * n) / n).tolist())
+                bps.append((S * 10000 // n - 1275000).tolist())
+            out = pdf.copy()
+            out["embedding"] = embs
+            out["embedding_bp"] = bps
+            yield out
+
+    return df.mapInPandas(fn, schema).select(
+        *cols, "embedding", "embedding_bp"
+    )
+
+
+def embed_text(
+    df: DataFrame,
+    text_col: str = "text",
+    dims: int = EMBED_DIMS,
+    use_arrow: bool = True,
+) -> DataFrame:
     """Feature-extraction stub: a hash-projection bag-of-words embedding —
     dim j = mean over words of (byte_j(salted md5(w)) − 127.5). The cheap
     deterministic stand-in for a learned text encoder: preserves bag-of-
@@ -257,33 +356,45 @@ def embed_text(df: DataFrame, text_col: str = "text", dims: int = EMBED_DIMS) ->
     array<bigint> (exact integer basis points, the cross-engine-stable
     oracle form: floor(sum·10⁴/n) − 1 275 000).
     """
+    if use_arrow:
+        return _embed_text_arrow(df, text_col, dims)
     n_salts = (dims + 5) // 6  # 6 usable bytes per 48-bit hash
     out = df
     for s in range(n_salts):
         out = out.withColumn(f"_eh{s}", F.expr(_hash_arr_sql(text_col, s)))
-    n = F.size(F.split(F.col(text_col), " ")).cast("long")
-    n_sql = f"size(split({text_col}, ' '))"
-    sums, bps = [], []
+    # r7: per-dim fold sums and the word count are HOISTED to named
+    # columns — each sum fold was written out twice (embedding + bp
+    # arrays) and the size(split(...)) fragment once per bp dim, so every
+    # row paid 2·dims interpreted folds and dims splits; named columns
+    # are referenced twice each (non-cheap ⇒ CollapseProject keeps them),
+    # identical arithmetic, identical doubles/longs.
+    out = out.withColumn(
+        "_en", F.expr(f"size(split({text_col}, ' '))")
+    )
     for j in range(dims):
         s, byte = divmod(j, 6)
-        sum_sql = (
-            f"aggregate(_eh{s}, 0L, (acc, h) -> acc + ((h >> {8 * byte}) & 255))"
-        )
-        sums.append(F.expr(sum_sql))
-        # integer `div`, not floor(double /): an exactly-divisible quotient
-        # rendered as a double can land a hair under the integer and
-        # mis-floor — exact integer arithmetic end-to-end instead
-        bps.append(
+        out = out.withColumn(
+            f"_es{j}",
             F.expr(
-                f"CAST({sum_sql} * 10000L div {n_sql} - 1275000 AS BIGINT)"
-            )
+                f"aggregate(_eh{s}, 0L, (acc, h) -> acc + ((h >> {8 * byte}) & 255))"
+            ),
         )
-    emb = F.array(*[(x - 127.5 * n) / n for x in sums])
-    emb_bp = F.array(*bps)
+    n = F.col("_en").cast("long")
+    # integer `div`, not floor(double /): an exactly-divisible quotient
+    # rendered as a double can land a hair under the integer and
+    # mis-floor — exact integer arithmetic end-to-end instead
+    emb = F.array(*[(F.col(f"_es{j}") - 127.5 * n) / n for j in range(dims)])
+    emb_bp = F.array(
+        *[
+            F.expr(f"CAST(_es{j} * 10000L div _en - 1275000 AS BIGINT)")
+            for j in range(dims)
+        ]
+    )
     return (
         out.withColumn("embedding", emb)
         .withColumn("embedding_bp", emb_bp)
-        .drop(*[f"_eh{s}" for s in range(n_salts)])
+        .drop("_en", *[f"_eh{s}" for s in range(n_salts)],
+              *[f"_es{j}" for j in range(dims)])
     )
 
 

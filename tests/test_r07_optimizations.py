@@ -275,6 +275,39 @@ def test_semantic_incremental_numpy_equals_join_fallback(spark):
     )
 
 
+# --- Arrow embed_text ≡ Catalyst fold form ---------------------------------
+
+
+def test_embed_text_arrow_equals_catalyst(spark, sf_dir):
+    """The Arrow embedding must be bit-identical to the Catalyst fold
+    form on real docs plus edge rows: NULL text (arrays of NULL
+    elements), empty text (the [''] split), unicode, repeated words."""
+    from ganda_spark.functions.text import embed_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(200)
+    edge = spark.createDataFrame(
+        [
+            (90001, None),
+            (90002, ""),
+            (90003, "une seule ligne – ünïcode 字"),
+            (90004, "dup dup dup dup"),
+            (90005, " leading and  double  spaces"),
+        ],
+        "doc_id long, text string",
+    )
+    df = docs.unionByName(edge)
+    a = embed_text(df, use_arrow=True).select(
+        "doc_id", "embedding", "embedding_bp"
+    )
+    c = embed_text(df, use_arrow=False).select(
+        "doc_id", "embedding", "embedding_bp"
+    )
+    assert a.exceptAll(c).count() == 0
+    assert c.exceptAll(a).count() == 0
+
+
 # --- Arrow top-k candidate stages ≡ Catalyst join+window forms -------------
 
 
