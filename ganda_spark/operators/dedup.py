@@ -105,10 +105,108 @@ def _minhash_mix(s: int, x: str = "x", y: str = "y") -> str:
     )
 
 
-def minhash_signatures(df: DataFrame, k: int = 8, shingle_col: str = "shingles") -> DataFrame:
+def _minhash_signatures_arrow(df: DataFrame, k: int, shingle_col: str) -> DataFrame:
+    """minhash_signatures as ONE Arrow map stage (guide §4.2): the
+    Catalyst form pays ~2 µs of interpreted lambda per element across
+    k+3 HOF passes per row (md5 transform, two conv transforms, k
+    zip_with-min folds) — ~6 ms/row-core on 300-shingle docs, the
+    dominant stage of every LSH entry's signature build. Each task
+    md5-hashes every DISTINCT shingle once (hashlib, cached across
+    batches — near-dup corpora repeat shingles heavily) and precomputes
+    its k mixed values; per row the signature is a NumPy column-min over
+    the gathered mix rows.
+
+    EXACT by construction: md5 is md5 (hexdigest[:12] / [12:24] = the
+    substr halves), the mix is the same integer arithmetic
+    ((A·h1 mod P + B·h2 mod P + C) mod P — products < 2^58, int64-safe,
+    pmod ≡ % on non-negatives), and min over int64 is order-free. NULL
+    and EMPTY shingle arrays both yield NULL signatures (array_min of
+    null/empty — test-pinned). NULL elements inside the array are
+    undefined input (md5(NULL) poisons the Catalyst fold to NULL-ish
+    shapes; hashlib would raise)."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    mix_consts = [(MINHASH_A[s], MINHASH_B[s], MINHASH_C[s]) for s in range(k)]
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField(f"sig_{s}", LongType(), True) for s in range(k)]
+    )
+    cols = df.columns
+
+    def fn(it):
+        import hashlib
+
+        import numpy as np
+
+        vocab: dict = {}
+        mix_rows: list = []
+
+        def code(sh):
+            c = vocab.get(sh)
+            if c is None:
+                c = len(vocab)
+                vocab[sh] = c
+                d = hashlib.md5(sh.encode("utf-8")).hexdigest()
+                h1 = int(d[:12], 16) % MINHASH_P
+                h2 = int(d[12:24], 16) % MINHASH_P
+                mix_rows.append(
+                    [
+                        (a * h1 % MINHASH_P + b * h2 % MINHASH_P + c0)
+                        % MINHASH_P
+                        for a, b, c0 in mix_consts
+                    ]
+                )
+            return c
+
+        for pdf in it:
+            arrs = pdf[shingle_col].tolist()
+            idx_rows = []
+            for arr in arrs:
+                if arr is None or len(arr) == 0:
+                    idx_rows.append(None)
+                else:
+                    idx_rows.append(
+                        np.fromiter(
+                            (code(sh) for sh in arr),
+                            dtype=np.int64,
+                            count=len(arr),
+                        )
+                    )
+            M = np.array(mix_rows, dtype=np.int64).reshape(len(mix_rows), k)
+            sigs: list[list] = [[] for _ in range(k)]
+            for idx in idx_rows:
+                if idx is None:
+                    for s in range(k):
+                        sigs[s].append(None)
+                else:
+                    mins = M[idx].min(axis=0)
+                    for s in range(k):
+                        sigs[s].append(int(mins[s]))
+            out = pdf.copy()
+            for s in range(k):
+                out[f"sig_{s}"] = pd.Series(sigs[s], dtype=object)
+            yield out
+
+    return df.mapInPandas(fn, schema).select(
+        *cols, *[f"sig_{s}" for s in range(k)]
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    k: int = 8,
+    shingle_col: str = "shingles",
+    use_arrow: bool = True,
+) -> DataFrame:
     """k min-hashes per doc, zero shuffles: array_min over pairwise-
-    independent mixes of ONE md5 per shingle (was k salted md5s)."""
+    independent mixes of ONE md5 per shingle (was k salted md5s).
+    r7 default: the Arrow map form (_minhash_signatures_arrow — same
+    hashes, same integer mixes, order-free min; equivalence test-pinned);
+    the Catalyst fold form stays behind use_arrow=False."""
     assert k <= len(MINHASH_A)
+    if use_arrow:
+        return _minhash_signatures_arrow(df, k, shingle_col)
     half = "CAST(conv(substr(d, {start}, 12), 16, 10) AS BIGINT)"
     out = (
         df.withColumn("_hd", F.expr(f"transform({shingle_col}, sh -> md5(sh))"))

@@ -275,6 +275,38 @@ def test_semantic_incremental_numpy_equals_join_fallback(spark):
     )
 
 
+# --- Arrow minhash signatures ≡ Catalyst fold form --------------------------
+
+
+def test_minhash_signatures_arrow_equals_catalyst(spark, sf_dir):
+    """The Arrow signature stage must be bit-identical to the Catalyst
+    fold form: same md5 halves, same integer mixes, same mins — on real
+    shingled docs plus NULL and EMPTY shingle arrays (both NULL sigs)
+    and unicode shingles."""
+    import __spark_entry__ as entry
+    from ganda_spark.operators.dedup import minhash_signatures, with_shingles
+
+    docs = with_shingles(entry._near_corpus(spark, sf_dir).limit(300)).select(
+        "doc_id", "shingles"
+    )
+    edge = spark.createDataFrame(
+        [
+            (90001, None),
+            (90002, []),
+            (90003, ["ünï 字 x", "a b c"]),
+            (90004, ["solo one two"]),
+        ],
+        "doc_id long, shingles array<string>",
+    )
+    df = docs.unionByName(edge).persist()
+    a = minhash_signatures(df, k=8, use_arrow=True)
+    c = minhash_signatures(df, k=8, use_arrow=False)
+    sel = ["doc_id"] + [f"sig_{s}" for s in range(8)]
+    assert a.select(sel).exceptAll(c.select(sel)).count() == 0
+    assert c.select(sel).exceptAll(a.select(sel)).count() == 0
+    df.unpersist()
+
+
 # --- Arrow embed_text ≡ Catalyst fold form ---------------------------------
 
 
